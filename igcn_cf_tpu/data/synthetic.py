@@ -25,10 +25,15 @@ def synthetic_interactions(
     split_ratio=(0.7, 0.1, 0.2),
 ) -> Interactions:
     rng = np.random.default_rng(seed)
-    # item popularity: Zipf-ish weights
+    # learnable structure: latent user/item factors + Zipf popularity bias.
+    # A pure-popularity generator would make Popularity the Bayes-optimal
+    # recommender; the latent term gives personalized models headroom.
+    dim = 8
+    u_fac = rng.normal(size=(n_users, dim)) / np.sqrt(dim)
+    i_fac = rng.normal(size=(n_items, dim))
     pop = 1.0 / np.power(np.arange(1, n_items + 1), zipf_a)
     rng.shuffle(pop)
-    pop = pop / pop.sum()
+    pop_bias = np.log(pop / pop.sum())
 
     degrees = np.clip(
         rng.lognormal(mean=np.log(avg_degree), sigma=0.6, size=n_users), 3, n_items // 2
@@ -36,9 +41,12 @@ def synthetic_interactions(
 
     train, val, test = [], [], []
     for u in range(n_users):
-        k = int(degrees[u])
-        items = rng.choice(n_items, size=min(k, n_items), replace=False, p=pop)
-        items = items.tolist()
+        k = int(min(degrees[u], n_items))
+        # Gumbel top-k == sampling without replacement from the softmax of
+        # (taste + 0.5 * popularity)
+        logits = 2.0 * (u_fac[u] @ i_fac.T) + 0.5 * pop_bias
+        gumbel = rng.gumbel(size=n_items)
+        items = np.argsort(logits + gumbel)[-k:][::-1].tolist()
         n = len(items)
         n_train = max(1, int(n * split_ratio[0]))
         n_test = int(n * split_ratio[2])

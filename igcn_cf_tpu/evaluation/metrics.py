@@ -1,0 +1,114 @@
+"""Ranking metrics: Precision/Recall/NDCG@k.
+
+``calculate_metrics`` is a vectorized numpy reimplementation of the
+reference's pure-Python hit-matrix double loop (reference trainer.py:109-138),
+with identical numerics: hits against the per-user eval set, ideal DCG from
+min(|eval|, k) leading ones, and users with empty eval sets masked out of the
+means. ``calculate_metrics_slow`` is a direct transcription of the reference
+loop kept as the test oracle (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def _pad_sorted(eval_data: List[List[int]], sentinel: int) -> np.ndarray:
+    n = len(eval_data)
+    width = max(1, max((len(e) for e in eval_data), default=1))
+    out = np.full((n, width), sentinel, dtype=np.int64)
+    for u, items in enumerate(eval_data):
+        if items:
+            out[u, : len(items)] = np.sort(np.asarray(items, dtype=np.int64))
+    return out
+
+
+def hit_matrix(eval_data: List[List[int]], rec_items: np.ndarray) -> np.ndarray:
+    """hit[u, j] = 1 if rec_items[u, j] is in eval_data[u]."""
+    sentinel = int(rec_items.max(initial=0)) + 1
+    padded = _pad_sorted(eval_data, sentinel)
+    idx = np.empty_like(rec_items)
+    for u in range(rec_items.shape[0]):
+        idx[u] = np.searchsorted(padded[u], rec_items[u])
+    idx = np.minimum(idx, padded.shape[1] - 1)
+    found = np.take_along_axis(padded, idx, axis=1) == rec_items
+    return found.astype(np.float32)
+
+
+def calculate_metrics(
+    eval_data: List[List[int]],
+    rec_items: np.ndarray,
+    topks: Sequence[int],
+) -> Dict[str, Dict[int, float]]:
+    results: Dict[str, Dict[int, float]] = {"Precision": {}, "Recall": {}, "NDCG": {}}
+    hits = hit_matrix(eval_data, rec_items)
+    eval_len = np.array([len(e) for e in eval_data], dtype=np.int32)
+
+    for k in topks:
+        hit_num = hits[:, :k].sum(axis=1)
+        precisions = hit_num / k
+        with np.errstate(invalid="ignore"):
+            recalls = hit_num / eval_len
+
+        max_hit_num = np.minimum(eval_len, k)
+        denom = np.log2(np.arange(2, k + 2, dtype=np.float32))[None, :]
+        dcgs = (hits[:, :k] / denom).sum(axis=1)
+        # ideal DCG: first min(|eval|, k) positions hit
+        ones_mask = np.arange(k)[None, :] < max_hit_num[:, None]
+        idcgs = (ones_mask / denom).sum(axis=1)
+        with np.errstate(invalid="ignore"):
+            ndcgs = dcgs / idcgs
+
+        mask = max_hit_num > 0
+        results["Precision"][k] = float(precisions[mask].mean())
+        results["Recall"][k] = float(recalls[mask].mean())
+        results["NDCG"][k] = float(ndcgs[mask].mean())
+    return results
+
+
+def calculate_metrics_slow(
+    eval_data: List[List[int]],
+    rec_items: np.ndarray,
+    topks: Sequence[int],
+) -> Dict[str, Dict[int, float]]:
+    """Direct transcription of the reference metric loop (reference
+    trainer.py:109-138); O(users * k * |eval|) — tests only."""
+    results: Dict[str, Dict[int, float]] = {"Precision": {}, "Recall": {}, "NDCG": {}}
+    hits = np.zeros_like(rec_items, dtype=np.float32)
+    for user in range(rec_items.shape[0]):
+        eval_set = set(eval_data[user])
+        for j in range(rec_items.shape[1]):
+            if rec_items[user, j] in eval_set:
+                hits[user, j] = 1.0
+    eval_len = np.array([len(e) for e in eval_data], dtype=np.int32)
+    for k in topks:
+        hit_num = hits[:, :k].sum(axis=1)
+        precisions = hit_num / k
+        with np.errstate(invalid="ignore"):
+            recalls = hit_num / eval_len
+        max_hit_num = np.minimum(eval_len, k)
+        max_hits = np.zeros((rec_items.shape[0], k), dtype=np.float32)
+        for user, num in enumerate(max_hit_num):
+            max_hits[user, :num] = 1.0
+        denom = np.log2(np.arange(2, k + 2, dtype=np.float32))[None, :]
+        dcgs = (hits[:, :k] / denom).sum(axis=1)
+        idcgs = (max_hits / denom).sum(axis=1)
+        with np.errstate(invalid="ignore"):
+            ndcgs = dcgs / idcgs
+        mask = max_hit_num > 0
+        results["Precision"][k] = float(precisions[mask].mean())
+        results["Recall"][k] = float(recalls[mask].mean())
+        results["NDCG"][k] = float(ndcgs[mask].mean())
+    return results
+
+
+def format_metrics(metrics: Dict[str, Dict[int, float]], topks: Sequence[int]) -> str:
+    """Reference-format result string (reference trainer.py:169-177)."""
+    parts = {"Precision": "", "Recall": "", "NDCG": ""}
+    for name in parts:
+        for k in topks:
+            parts[name] += "{:.3f}%@{:d}, ".format(metrics[name][k] * 100.0, k)
+    return "Precision: {:s}Recall: {:s}NDCG: {:s}".format(
+        parts["Precision"], parts["Recall"], parts["NDCG"]
+    )

@@ -1,0 +1,193 @@
+"""INMO — inductive template aggregation models: IGCN (INMO-LGCN) and IMF
+(INMO-MF).
+
+Behavior of the reference IGCN (reference model.py:354-466):
+
+  * embeddings attach to TEMPLATE (core) users/items + 2 shared tokens, not to
+    all nodes: the feature matrix ``feat_mat`` has one row per node listing
+    its train neighbors in template space plus its role token (reference
+    model.py:386-421);
+  * layer-0 representation = feat_mat @ E (the inductive aggregation,
+    reference model.py:423-432), followed by LightGCN-style K-layer
+    propagation with mean over layers (reference model.py:434-446);
+  * feat_mat edge weights are ``row_sum[row]^((alpha-1)/2 - 1/2)`` with alpha
+    annealed per epoch by delta=0.99 (reference model.py:374-381) — at
+    alpha=1 this is rowsum^-0.5, annealing toward rowsum^-1 (a mean);
+  * sparse edge dropout on feat_mat during training (reference model.py:435);
+  * an extra learned vector ``w`` scores the auxiliary self-enhanced BPR loss
+    on raw template embeddings (reference model.py:370, trainer.py:304-311);
+  * save/load persists user_map/item_map/alpha and REBUILDS feat_mat from the
+    current dataset on load — new users/items get feature rows over the old
+    templates with zero new parameters: the inductive mechanism (reference
+    model.py:454-466).
+
+TPU design: the feat-mat pattern (rows/cols) and per-edge row sums are static
+buffers; the annealed weights are an elementwise pow fused into the
+aggregation SpMM, with alpha a traced scalar — the per-epoch anneal changes no
+shapes and triggers no recompile. The aggregation itself is the same
+gather/segment-sum SpMM as propagation (gather of template embeddings +
+segment-sum per node — BASELINE.json's "gather+segment-sum kernel").
+
+IMF (reference model.py:536-543) is IGCN with the propagation stage skipped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from igcn_cf_tpu.core.registry import MODELS
+from igcn_cf_tpu.graph.build import build_feat_mat, select_templates, sym_norm_adjacency
+from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean, spmm
+from igcn_cf_tpu.models.base import Model, l2sq, normal_init
+
+
+@MODELS.register("IGCN")
+class IGCN(Model):
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.n_layers = config["n_layers"]
+        self.dropout = config["dropout"]
+        self.feature_ratio = config["feature_ratio"]
+        self.delta = config.get("delta", 0.99)
+        self.ranking_metric = config.get("ranking_metric", "sort")
+        self.alpha = 1.0
+        self.user_map, self.item_map = select_templates(
+            dataset.train_array,
+            self.n_users,
+            self.n_items,
+            self.feature_ratio,
+            self.ranking_metric,
+        )
+
+    @property
+    def n_templates(self) -> int:
+        return len(self.user_map) + len(self.item_map) + 2
+
+    def init_params(self, key):
+        ke, _ = jax.random.split(key)
+        return {
+            "embedding": normal_init(ke, (self.n_templates, self.embedding_size)),
+            "w": jnp.ones((self.embedding_size,), jnp.float32),
+        }
+
+    def init_buffers(self):
+        adj = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)
+        feat = build_feat_mat(
+            self.dataset.train_array,
+            self.n_users,
+            self.n_items,
+            self.user_map,
+            self.item_map,
+        )
+        feat_graph = SparseGraph.from_coo(feat.coo)
+        # per-edge row sums; padded tail rows get 1.0 so pow() stays finite
+        edge_row_sum = np.ones(feat_graph.vals.shape[0], dtype=np.float32)
+        edge_row_sum[: feat.coo.nnz] = feat.row_sum[feat.coo.rows]
+        # padding entries must contribute 0 regardless of alpha
+        edge_live = np.zeros(feat_graph.vals.shape[0], dtype=np.float32)
+        edge_live[: feat.coo.nnz] = 1.0
+        return {
+            "norm_adj": SparseGraph.from_coo(adj),
+            "feat_graph": feat_graph,
+            "feat_edge_row_sum": jnp.asarray(edge_row_sum),
+            "feat_edge_live": jnp.asarray(edge_live),
+            "alpha": jnp.float32(self.alpha),
+        }
+
+    # -- representation -----------------------------------------------------
+
+    def _feat_vals(self, buffers):
+        """Annealed edge weights rowsum^((alpha-1)/2 - 1/2) (reference
+        model.py:374-377), masked on padding."""
+        exponent = (buffers["alpha"] - 1.0) / 2.0 - 0.5
+        return (
+            jnp.power(buffers["feat_edge_row_sum"], exponent)
+            * buffers["feat_edge_live"]
+        )
+
+    def inductive_rep_layer(self, params, buffers, *, train, key):
+        g = buffers["feat_graph"].with_vals(self._feat_vals(buffers))
+        if train and self.dropout > 0.0:
+            keep = jax.random.bernoulli(key, 1.0 - self.dropout, g.vals.shape)
+            g = g.with_vals(jnp.where(keep, g.vals / (1.0 - self.dropout), 0.0))
+        return spmm(g, params["embedding"])
+
+    def rep(self, params, buffers, *, train, key):
+        x0 = self.inductive_rep_layer(params, buffers, train=train, key=key)
+        return propagate_mean(buffers["norm_adj"], x0, self.n_layers)
+
+    def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
+        rep = self.rep(params, buffers, train=train, key=key)
+        u = rep[users]
+        p = rep[self.n_users + pos]
+        n = rep[self.n_users + neg]
+        # L2 on propagated reps — IGCN borrows NGCF.bpr_forward (reference
+        # model.py:448-449 -> 293-299)
+        l2 = l2sq(u, axis=1) + l2sq(p, axis=1) + l2sq(n, axis=1)
+        return u, p, n, l2
+
+    def aux_scores(self, params, users, pos, neg):
+        """Self-enhanced aux loss pieces on raw template embeddings scored by
+        ``w`` (reference trainer.py:304-311). users/pos/neg are template-space
+        ids."""
+        emb = params["embedding"]
+        n_core_users = len(self.user_map)
+        u = emb[users]
+        p = emb[pos + n_core_users]
+        n = emb[neg + n_core_users]
+        w = params["w"][None, :]
+        return jnp.sum(u * p * w, axis=1), jnp.sum(u * n * w, axis=1)
+
+    def epoch_update(self, buffers):
+        """Per-epoch anneal alpha <- alpha * delta (reference
+        model.py:379-381); pure buffer update, no recompile."""
+        self.alpha *= self.delta
+        return dict(buffers, alpha=jnp.float32(self.alpha))
+
+    def make_predict_fn(self, params, buffers):
+        return self._dot_predict_fn(params, buffers)
+
+    # -- inductive contract -------------------------------------------------
+
+    def rebuild_for(self, new_dataset):
+        """dropit/dropui recipe: keep user_map/item_map (and parameters),
+        rebuild norm_adj + feat_mat from the new dataset (reference
+        run/dropui/igcn_dropui.py:29-35, run/dropit/igcn_dropit.py:33-37).
+        New users/items get feat rows over the OLD templates."""
+        self.dataset = new_dataset
+        self.n_users = new_dataset.n_users
+        self.n_items = new_dataset.n_items
+        self._jit_cache.clear()
+        return self.init_buffers()
+
+    def extra_state(self):
+        return {
+            "user_map": self.user_map,
+            "item_map": self.item_map,
+            "alpha": self.alpha,
+        }
+
+    def load_extra_state(self, state):
+        """Load-then-rebuild-feat semantics (reference model.py:459-466): the
+        caller's current ``self.dataset`` provides the interactions; the
+        saved template maps define the embedding rows."""
+        self.user_map = state["user_map"]
+        self.item_map = state["item_map"]
+        self.alpha = state["alpha"]
+
+    def refresh_buffers(self, buffers):
+        """After load(), feat_mat/norm_adj must reflect the CURRENT dataset
+        with the loaded template maps and alpha (reference model.py:465-466)."""
+        return self.init_buffers()
+
+
+@MODELS.register("IMF")
+class IMF(IGCN):
+    """INMO-MF: representation is the inductive layer only, no propagation
+    (reference model.py:536-543)."""
+
+    def rep(self, params, buffers, *, train, key):
+        return self.inductive_rep_layer(params, buffers, train=train, key=key)

@@ -1,0 +1,80 @@
+"""LightGCN.
+
+Behavior of the reference LightGCN (reference model.py:75-123): one
+(n_users+n_items, d) table, symmetric-normalized adjacency, K SpMM rounds with
+mean over layers 0..K; BPR L2 penalizes the ego (layer-0) embeddings while
+scores use the propagated representations; predict is users_rep @ items_repᵀ.
+
+TPU design: the adjacency lives as a static row-sorted SparseGraph buffer;
+propagation is the fused gather/segment-sum SpMM (kernels/sparse.py), all
+under one jit per train step, with the eval representation computed once and
+cached (exact — no dropout in this model)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from igcn_cf_tpu.core.registry import MODELS
+from igcn_cf_tpu.graph.build import sym_norm_adjacency
+from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean
+from igcn_cf_tpu.models.base import Model, l2sq, normal_init
+
+
+@MODELS.register("LightGCN")
+class LightGCN(Model):
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.n_layers = config["n_layers"]
+
+    def init_params(self, key):
+        return {
+            "embedding": normal_init(
+                key, (self.n_users + self.n_items, self.embedding_size)
+            )
+        }
+
+    def init_buffers(self):
+        coo = sym_norm_adjacency(
+            self.dataset.train_array, self.n_users, self.n_items
+        )
+        return {"norm_adj": SparseGraph.from_coo(coo)}
+
+    def rep(self, params, buffers, *, train, key):
+        return propagate_mean(buffers["norm_adj"], params["embedding"], self.n_layers)
+
+    def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
+        rep = self.rep(params, buffers, train=train, key=key)
+        emb = params["embedding"]
+        # L2 on ego embeddings, scores on propagated reps (model.py:108-116)
+        l2 = (
+            l2sq(emb[users], axis=1)
+            + l2sq(emb[self.n_users + pos], axis=1)
+            + l2sq(emb[self.n_users + neg], axis=1)
+        )
+        return rep[users], rep[self.n_users + pos], rep[self.n_users + neg], l2
+
+    def make_predict_fn(self, params, buffers):
+        return self._dot_predict_fn(params, buffers)
+
+    def rebuild_for(self, new_dataset):
+        """dropit recipe: rebuild norm_adj only (reference
+        run/dropit/lgcn_dropit.py:33-35)."""
+        return super().rebuild_for(new_dataset)
+
+    def grow_params(self, params, old_n_users, old_n_items):
+        """dropui recipe: grow the table to the new node count; new rows get
+        the MEAN of the old embeddings, old user/item rows are copied into
+        their shifted slots (reference run/dropui/lgcn_dropui.py:31-38).
+        Call after rebuild_for (self.n_users/n_items already new)."""
+        old = params["embedding"]
+        mean = jnp.mean(old, axis=0)
+        new = jnp.broadcast_to(
+            mean[None, :], (self.n_users + self.n_items, self.embedding_size)
+        )
+        new = new.at[:old_n_users].set(old[:old_n_users])
+        new = new.at[self.n_users : self.n_users + old_n_items].set(
+            old[old_n_users:]
+        )
+        return {"embedding": new}

@@ -1,0 +1,178 @@
+"""Training loop core.
+
+``BasicTrainer`` reproduces the reference control flow exactly (reference
+trainer.py:57-107): per-epoch train + train-split metric eval, validation
+every ``val_interval`` epochs, best-NDCG@topks[0] checkpointing to
+``checkpoints/{model}_{trainer}_{dataset}_{ndcg}.pkl`` with old-best deletion,
+early stop after ``max_patience`` non-improving epochs, reload best at the
+end. Non-trainable models short-circuit to a single validation eval
+(reference trainer.py:58-63).
+
+TPU-first: an epoch is ONE jitted ``lax.scan`` over train steps — sampling,
+forward (full-graph propagation), loss, backward and optimizer update all
+fused on device with donated params/opt state. No per-batch host round-trips
+(the reference pays a process boundary + H2D per 2048-pair batch, SURVEY.md
+§3.5)."""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from igcn_cf_tpu.core.prng import KeySeq
+from igcn_cf_tpu.core.registry import TRAINERS
+from igcn_cf_tpu.data.sampler import DeviceNegativeSampler
+from igcn_cf_tpu.evaluation.evaluate import evaluate
+
+OPTIMIZERS = {
+    "Adam": optax.adam,
+    "SGD": optax.sgd,
+}
+
+
+def get_trainer(config: dict, dataset, model):
+    """Factory matching the reference API (reference trainer.py:14-20)."""
+    cls = TRAINERS.get(config["name"])
+    return cls(config, dataset, model)
+
+
+@TRAINERS.register("BasicTrainer")
+class BasicTrainer:
+    def __init__(self, trainer_config: dict, dataset, model):
+        self.config = dict(trainer_config)
+        self.name = trainer_config["name"]
+        self.dataset = dataset
+        self.model = model
+        self.topks = trainer_config["topks"]
+        self.n_epochs = trainer_config["n_epochs"]
+        self.max_patience = trainer_config.get("max_patience", 50)
+        self.val_interval = trainer_config.get("val_interval", 1)
+        self.test_batch_size = trainer_config.get("test_batch_size", 512)
+        self.epoch = 0
+        self.best_ndcg = -np.inf
+        self.save_path: Optional[str] = None
+        self.keys = KeySeq(trainer_config.get("seed", 2021))
+
+        # device state
+        self.params = model.init_params(self.keys.next()) if model.trainable else {}
+        self.buffers = model.init_buffers()
+        self.opt = None
+        self.opt_state = None
+        if model.trainable and "optimizer" in trainer_config:
+            self.initialize_optimizer()
+
+        self.batch_size = trainer_config.get("batch_size", 2048)
+        if model.trainable:
+            self.sampler = DeviceNegativeSampler.build(dataset)
+        self._epoch_fn = None
+
+    # -- optimizer ----------------------------------------------------------
+
+    def initialize_optimizer(self):
+        """Resolve optimizer by name (reference trainer.py:43-45) and reset
+        its state."""
+        self.opt = OPTIMIZERS[self.config["optimizer"]](self.config["lr"])
+        self.opt_state = self.opt.init(self.params)
+        self._epoch_fn = None  # step closure captures self.opt
+
+    # -- subclass API -------------------------------------------------------
+
+    def steps_per_epoch(self) -> int:
+        """ceil(|train_array| / batch_size) batches per epoch, matching the
+        reference DataLoader's length over the train-array-sized index space
+        (reference dataset.py:116-117, trainer.py:226). All batches are full
+        size (sampling is i.i.d.), a documented deviation from the
+        reference's smaller final partial batch."""
+        return max(1, -(-len(self.dataset) // self.batch_size))
+
+    def train_one_epoch(self) -> float:
+        raise NotImplementedError
+
+    # -- evaluation ---------------------------------------------------------
+
+    def eval(self, val_or_test: str, banned_items=None):
+        predict_fn = self.model.make_predict_fn(self.params, self.buffers)
+        return evaluate(
+            predict_fn,
+            self.dataset,
+            val_or_test,
+            self.topks,
+            banned_items=banned_items,
+            test_batch_size=self.test_batch_size,
+        )
+
+    def inductive_eval(self, n_old_users: int, n_old_items: int):
+        from igcn_cf_tpu.evaluation.inductive import inductive_eval
+
+        return inductive_eval(self, n_old_users, n_old_items)
+
+    # -- main loop (reference trainer.py:57-107) ----------------------------
+
+    def train(self, verbose: bool = True, writer=None) -> float:
+        if not self.model.trainable:
+            results, metrics = self.eval("val")
+            if verbose:
+                print("Validation result. {:s}".format(results))
+            return metrics["NDCG"][self.topks[0]]
+
+        os.makedirs("checkpoints", exist_ok=True)
+        patience = self.max_patience
+        for self.epoch in range(self.n_epochs):
+            start_time = time.time()
+            loss = self.train_one_epoch()
+            _, metrics = self.eval("train")
+            consumed = time.time() - start_time
+            if verbose:
+                print(
+                    "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
+                        self.epoch, self.n_epochs, loss, consumed
+                    )
+                )
+            if writer:
+                writer.add_scalar(
+                    f"{self.model.name}_{self.name}/train_loss", loss, self.epoch
+                )
+                writer.record(self.model.name, self.name, "train", metrics, self.epoch)
+
+            if (self.epoch + 1) % self.val_interval != 0:
+                continue
+
+            start_time = time.time()
+            results, metrics = self.eval("val")
+            consumed = time.time() - start_time
+            if verbose:
+                print("Validation result. {:s}Time: {:.3f}s".format(results, consumed))
+            if writer:
+                writer.record(
+                    self.model.name, self.name, "validation", metrics, self.epoch
+                )
+
+            ndcg = metrics["NDCG"][self.topks[0]]
+            if ndcg > self.best_ndcg:
+                if self.save_path:
+                    os.remove(self.save_path)
+                self.save_path = os.path.join(
+                    "checkpoints",
+                    "{:s}_{:s}_{:s}_{:.3f}.pkl".format(
+                        self.model.name, self.name, self.dataset.name, ndcg * 100
+                    ),
+                )
+                self.best_ndcg = ndcg
+                self.model.save(self.save_path, self.params)
+                patience = self.max_patience
+                print("Best NDCG, save model to {:s}".format(self.save_path))
+            else:
+                patience -= self.val_interval
+                if patience <= 0:
+                    print("Early stopping!")
+                    break
+        self.params = self.model.load(self.save_path)
+        self.buffers = self.model.refresh_buffers(self.buffers)
+        return self.best_ndcg

@@ -8,7 +8,9 @@ point (c). These env vars must be set before jax initializes its backends.
 import os
 
 # Force, not setdefault: the container env pins JAX_PLATFORMS=axon (the real
-# TPU tunnel); unit tests must stay on the virtual CPU mesh.
+# TPU tunnel); unit tests must stay on the virtual CPU mesh. The container's
+# sitecustomize imports jax before this file runs, so the env var alone is
+# too late — jax.config.update below is what actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -18,7 +20,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+assert jax.device_count() >= 8, (
+    "unit tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()} — backend was initialized before conftest could "
+    "configure it"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
