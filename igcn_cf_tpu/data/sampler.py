@@ -34,21 +34,22 @@ import numpy as np
 MAX_RETRIES = 16
 
 
-def _searchsorted_rows(sorted_rows: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
-    """Membership of queries[b] in sorted_rows[b, :] for each row b.
+def _row_contains(sorted_row: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Membership of each query in one sorted row (padded with a sentinel
+    larger than any item id, so padding never matches)."""
+    idx = jnp.searchsorted(sorted_row, queries)
+    idx = jnp.minimum(idx, sorted_row.shape[0] - 1)
+    return sorted_row[idx] == queries
 
-    sorted_rows is padded with a sentinel larger than any item id, so padding
-    never produces a false match. Returns a bool mask of queries' shape.
-    """
-    idx = jax.vmap(jnp.searchsorted)(sorted_rows, queries)
-    idx = jnp.minimum(idx, sorted_rows.shape[1] - 1)
-    found = jnp.take_along_axis(sorted_rows, idx[:, None], axis=1)[:, 0] == queries
-    return found
+
+def _searchsorted_rows(sorted_rows: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Membership of queries[b] in sorted_rows[b, :] for each row b."""
+    return jax.vmap(_row_contains)(sorted_rows, queries[:, None])[:, 0]
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["active_users", "user_items", "user_degree"],
+    data_fields=["active_users", "user_items", "user_degree", "dense_b"],
     meta_fields=["n_items"],
 )
 @dataclass(frozen=True)
@@ -62,13 +63,23 @@ class DeviceNegativeSampler:
                    ``n_items`` (an id one past the catalog, compares greater
                    than every valid item)
     user_degree  : (n_users,) train degrees
+    dense_b      : optional (>=n_users, >=n_items) int8 interaction matrix
+                   (shared with the dense graph engine) for O(1) membership
+                   lookups instead of per-candidate binary search
     n_items      : catalog size (static)
     """
 
     active_users: jnp.ndarray
     user_items: jnp.ndarray
     user_degree: jnp.ndarray
+    dense_b: jnp.ndarray | None
     n_items: int
+
+    def with_dense_b(self, dense_b: jnp.ndarray) -> "DeviceNegativeSampler":
+        return DeviceNegativeSampler(
+            self.active_users, self.user_items, self.user_degree, dense_b,
+            self.n_items,
+        )
 
     @staticmethod
     def build(ds) -> "DeviceNegativeSampler":
@@ -84,6 +95,7 @@ class DeviceNegativeSampler:
             active_users=jnp.asarray(active),
             user_items=jnp.asarray(padded),
             user_degree=jnp.asarray(degs),
+            dense_b=None,
             n_items=int(n_items),
         )
 
@@ -105,23 +117,28 @@ class DeviceNegativeSampler:
         rows = self.user_items[users]
         pos = jnp.take_along_axis(rows, pos_idx[:, None], axis=1)[:, 0]
 
-        rep_rows = rows if neg_ratio == 1 else jnp.repeat(rows, neg_ratio, axis=0)
-
-        def draw_neg(carry, k):
-            negs, ok = carry
-            cand = jax.random.randint(k, negs.shape, 0, self.n_items)
-            is_pos = _searchsorted_rows(rep_rows, cand.reshape(-1)).reshape(negs.shape)
-            # keep the last candidate even if it collides, so exhausting the
-            # retry budget yields a valid item id rather than 0
-            negs = jnp.where(ok, negs, cand)
-            ok = ok | ~is_pos
-            return (negs, ok), None
-
-        init = (
-            jnp.zeros((batch_size, neg_ratio), jnp.int32),
-            jnp.zeros((batch_size, neg_ratio), bool),
+        # all retry candidates drawn at once; membership tested in ONE pass,
+        # then the first non-positive per slot wins — no sequential retry
+        # scan. With a dense interaction matrix attached, membership is a
+        # single elementwise lookup B[user, cand] instead of binary search.
+        cand = jax.random.randint(
+            kn, (batch_size, neg_ratio, MAX_RETRIES), 0, self.n_items
         )
-        (negs, _), _ = jax.lax.scan(draw_neg, init, jax.random.split(kn, MAX_RETRIES))
+        if self.dense_b is not None:
+            users_b = jnp.broadcast_to(users[:, None], (batch_size, neg_ratio * MAX_RETRIES))
+            is_pos = (
+                self.dense_b[users_b.reshape(-1), cand.reshape(-1)] > 0
+            ).reshape(cand.shape)
+        else:
+            is_pos = jax.vmap(
+                lambda row, q: _row_contains(row, q)
+            )(rows, cand.reshape(batch_size, -1)).reshape(cand.shape)
+        ok = ~is_pos
+        # argmax of bool finds the first acceptable candidate; if all
+        # MAX_RETRIES collide (prob p^MAX_RETRIES), slot 0 is used — a
+        # quantified deviation from the reference's unbounded loop
+        first = jnp.argmax(ok, axis=-1)
+        negs = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
         return users, pos, negs
 
 

@@ -39,6 +39,12 @@ import numpy as np
 
 from igcn_cf_tpu.core.registry import MODELS
 from igcn_cf_tpu.graph.build import build_feat_mat, select_templates, sym_norm_adjacency
+from igcn_cf_tpu.kernels.dense_graph import (
+    BipartiteDense,
+    choose_backend,
+    feat_aggregate,
+    sym_norm_propagate_mean,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean, spmm
 from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
@@ -54,6 +60,9 @@ class IGCN(Model):
         self.delta = config.get("delta", 0.99)
         self.ranking_metric = config.get("ranking_metric", "sort")
         self.alpha = 1.0
+        self.backend = choose_backend(
+            self.n_users, self.n_items, config.get("graph_backend", "auto")
+        )
         self.user_map, self.item_map = select_templates(
             dataset.train_array,
             self.n_users,
@@ -66,6 +75,16 @@ class IGCN(Model):
     def n_templates(self) -> int:
         return len(self.user_map) + len(self.item_map) + 2
 
+    def _identity_templates(self) -> bool:
+        """True when every user/item is its own template (feature_ratio=1
+        keeps identity maps — and dropui rebuilds may ADD non-template nodes,
+        so check the maps against the current counts)."""
+        return (
+            self.feature_ratio >= 1.0  # identity maps by construction
+            and len(self.user_map) == self.n_users
+            and len(self.item_map) == self.n_items
+        )
+
     def init_params(self, key):
         ke, _ = jax.random.split(key)
         return {
@@ -74,6 +93,8 @@ class IGCN(Model):
         }
 
     def init_buffers(self):
+        if self.backend == "dense":
+            return self._init_buffers_dense()
         adj = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)
         feat = build_feat_mat(
             self.dataset.train_array,
@@ -97,6 +118,40 @@ class IGCN(Model):
             "alpha": jnp.float32(self.alpha),
         }
 
+    def _init_buffers_dense(self):
+        """Dense-bipartite buffers: one binary matrix pair serves both the
+        adjacency and the feat matrix; template selection becomes zero-padded
+        embedding scatter (kernels/dense_graph.py docstring)."""
+        arr = self.dataset.train_array
+        bip = BipartiteDense.build(arr, self.n_users, self.n_items)
+        # template membership + scatter indices, ordered by template index
+        core_u = np.array(
+            sorted(self.user_map, key=self.user_map.get), dtype=np.int32
+        )
+        core_i = np.array(
+            sorted(self.item_map, key=self.item_map.get), dtype=np.int32
+        )
+        in_u = np.zeros(self.n_users, dtype=np.float32)
+        in_u[core_u] = 1.0
+        in_i = np.zeros(self.n_items, dtype=np.float32)
+        in_i[core_i] = 1.0
+        # feat row sums: core train neighbors + the token edge (reference
+        # model.py:417-419 row_sum over the binary feat pattern)
+        rs_u = np.ones(self.n_users, dtype=np.float32)
+        rs_i = np.ones(self.n_items, dtype=np.float32)
+        np.add.at(rs_u, arr[:, 0], in_i[arr[:, 1]])
+        np.add.at(rs_i, arr[:, 1], in_u[arr[:, 0]])
+        return {
+            "bip": bip,
+            "core_user_ids": jnp.asarray(core_u),
+            "core_item_ids": jnp.asarray(core_i),
+            "core_user_mask": jnp.asarray(in_u),
+            "core_item_mask": jnp.asarray(in_i),
+            "feat_rowsum_u": jnp.asarray(rs_u),
+            "feat_rowsum_i": jnp.asarray(rs_i),
+            "alpha": jnp.float32(self.alpha),
+        }
+
     # -- representation -----------------------------------------------------
 
     def _feat_vals(self, buffers):
@@ -109,14 +164,53 @@ class IGCN(Model):
         )
 
     def inductive_rep_layer(self, params, buffers, *, train, key):
+        if self.backend == "dense":
+            return self._inductive_rep_dense(params, buffers, train=train, key=key)
         g = buffers["feat_graph"].with_vals(self._feat_vals(buffers))
         if train and self.dropout > 0.0:
             keep = jax.random.bernoulli(key, 1.0 - self.dropout, g.vals.shape)
             g = g.with_vals(jnp.where(keep, g.vals / (1.0 - self.dropout), 0.0))
         return spmm(g, params["embedding"])
 
+    def _inductive_rep_dense(self, params, buffers, *, train, key):
+        emb = params["embedding"]
+        n_cu = len(self.user_map)
+        n_ci = len(self.item_map)
+        d = self.embedding_size
+        # template embeddings expanded into full user/item space (zero rows
+        # on non-template nodes) — template selection as embedding padding.
+        # feature_ratio=1 with identity maps is a plain slice (backward =
+        # pad, free); otherwise a scatter.
+        if self._identity_templates():
+            e_users_full = emb[:n_cu]
+            e_items_full = emb[n_cu : n_cu + n_ci]
+        else:
+            e_users_full = jnp.zeros((self.n_users, d), emb.dtype).at[
+                buffers["core_user_ids"]
+            ].set(emb[:n_cu])
+            e_items_full = jnp.zeros((self.n_items, d), emb.dtype).at[
+                buffers["core_item_ids"]
+            ].set(emb[n_cu : n_cu + n_ci])
+        exponent = (buffers["alpha"] - 1.0) / 2.0 - 0.5
+        w_u = jnp.power(buffers["feat_rowsum_u"], exponent)
+        w_i = jnp.power(buffers["feat_rowsum_i"], exponent)
+        dropout = self.dropout if train else 0.0
+        return feat_aggregate(
+            buffers["bip"],
+            e_items_full,
+            e_users_full,
+            emb[n_cu + n_ci],
+            emb[n_cu + n_ci + 1],
+            w_u,
+            w_i,
+            dropout=dropout,
+            key=key if train else None,
+        )
+
     def rep(self, params, buffers, *, train, key):
         x0 = self.inductive_rep_layer(params, buffers, train=train, key=key)
+        if self.backend == "dense":
+            return sym_norm_propagate_mean(buffers["bip"], x0, self.n_layers)
         return propagate_mean(buffers["norm_adj"], x0, self.n_layers)
 
     def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
@@ -160,6 +254,9 @@ class IGCN(Model):
         self.dataset = new_dataset
         self.n_users = new_dataset.n_users
         self.n_items = new_dataset.n_items
+        self.backend = choose_backend(
+            self.n_users, self.n_items, self.config.get("graph_backend", "auto")
+        )
         self._jit_cache.clear()
         return self.init_buffers()
 

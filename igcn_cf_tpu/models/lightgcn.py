@@ -17,6 +17,11 @@ import jax.numpy as jnp
 
 from igcn_cf_tpu.core.registry import MODELS
 from igcn_cf_tpu.graph.build import sym_norm_adjacency
+from igcn_cf_tpu.kernels.dense_graph import (
+    BipartiteDense,
+    choose_backend,
+    sym_norm_propagate_mean,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean
 from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
@@ -27,6 +32,9 @@ class LightGCN(Model):
         super().__init__(config, dataset)
         self.embedding_size = config["embedding_size"]
         self.n_layers = config["n_layers"]
+        self.backend = choose_backend(
+            self.n_users, self.n_items, config.get("graph_backend", "auto")
+        )
 
     def init_params(self, key):
         return {
@@ -36,12 +44,22 @@ class LightGCN(Model):
         }
 
     def init_buffers(self):
+        if self.backend == "dense":
+            return {
+                "bip": BipartiteDense.build(
+                    self.dataset.train_array, self.n_users, self.n_items
+                )
+            }
         coo = sym_norm_adjacency(
             self.dataset.train_array, self.n_users, self.n_items
         )
         return {"norm_adj": SparseGraph.from_coo(coo)}
 
     def rep(self, params, buffers, *, train, key):
+        if self.backend == "dense":
+            return sym_norm_propagate_mean(
+                buffers["bip"], params["embedding"], self.n_layers
+            )
         return propagate_mean(buffers["norm_adj"], params["embedding"], self.n_layers)
 
     def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
@@ -61,6 +79,11 @@ class LightGCN(Model):
     def rebuild_for(self, new_dataset):
         """dropit recipe: rebuild norm_adj only (reference
         run/dropit/lgcn_dropit.py:33-35)."""
+        self.backend = choose_backend(
+            new_dataset.n_users,
+            new_dataset.n_items,
+            self.config.get("graph_backend", "auto"),
+        )
         return super().rebuild_for(new_dataset)
 
     def grow_params(self, params, old_n_users, old_n_items):

@@ -27,8 +27,8 @@ class BCETrainer(_ScanEpochTrainer):
         self.mlp_pretrain_epochs = config["mlp_pretrain_epochs"]
         self.neg_ratio = dataset.neg_ratio
 
-    def _loss(self, params, buffers, k_batch, k_drop):
-        users, pos, negs = self.sampler.sample(
+    def _loss(self, params, buffers, samplers, k_batch, k_drop):
+        users, pos, negs = samplers["main"].sample(
             k_batch, self.batch_size, neg_ratio=self.neg_ratio
         )
         pos_logits, l2_p = self.model.bce_forward(params, users, pos)

@@ -31,9 +31,16 @@ from igcn_cf_tpu.train.trainer import BasicTrainer
 
 class _ScanEpochTrainer(BasicTrainer):
     """Shared scan-epoch machinery; subclasses define ``_loss(params,
-    buffers, keys_batch, key_dropout)`` returning a scalar."""
+    buffers, samplers, keys_batch, key_dropout)`` returning a scalar.
 
-    def _loss(self, params, buffers, k_batch, k_drop):
+    Samplers and buffers travel as explicit jit arguments — closure-capturing
+    them would embed multi-GB device arrays as constants in the compiled
+    program (and overflow the remote-compile transport)."""
+
+    def _samplers(self):
+        return {"main": self.sampler}
+
+    def _loss(self, params, buffers, samplers, k_batch, k_drop):
         raise NotImplementedError
 
     def _build_epoch_fn(self):
@@ -41,20 +48,20 @@ class _ScanEpochTrainer(BasicTrainer):
         n_steps = self.steps_per_epoch()
 
         def step(carry, key):
-            params, opt_state, buffers = carry
+            params, opt_state, buffers, samplers = carry
             k_batch, k_drop = jax.random.split(key)
             loss, grads = jax.value_and_grad(self._loss)(
-                params, buffers, k_batch, k_drop
+                params, buffers, samplers, k_batch, k_drop
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, buffers), loss
+            return (params, opt_state, buffers, samplers), loss
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, buffers, key):
+        def epoch_fn(params, opt_state, buffers, samplers, key):
             keys = jax.random.split(key, n_steps)
-            (params, opt_state, _), losses = jax.lax.scan(
-                step, (params, opt_state, buffers), keys
+            (params, opt_state, _, _), losses = jax.lax.scan(
+                step, (params, opt_state, buffers, samplers), keys
             )
             return params, opt_state, losses.mean()
 
@@ -64,7 +71,8 @@ class _ScanEpochTrainer(BasicTrainer):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
         self.params, self.opt_state, loss = self._epoch_fn(
-            self.params, self.opt_state, self.buffers, self.keys.next()
+            self.params, self.opt_state, self.buffers, self._samplers(),
+            self.keys.next(),
         )
         self.buffers = self.model.epoch_update(self.buffers)
         return float(loss)
@@ -86,8 +94,8 @@ class BPRTrainer(_ScanEpochTrainer):
         super().__init__(config, dataset, model)
         self.l2_reg = config["l2_reg"]
 
-    def _loss(self, params, buffers, k_batch, k_drop):
-        users, pos, negs = self.sampler.sample(k_batch, self.batch_size)
+    def _loss(self, params, buffers, samplers, k_batch, k_drop):
+        users, pos, negs = samplers["main"].sample(k_batch, self.batch_size)
         bpr, l2 = bpr_loss_terms(
             self.model, params, buffers, users, pos, negs[:, 0], k_drop
         )
@@ -102,14 +110,22 @@ class IGCNTrainer(_ScanEpochTrainer):
         self.aux_reg = config["aux_reg"]
         aux_ds = auxiliary_interactions(dataset, model.user_map, model.item_map)
         self.aux_sampler = DeviceNegativeSampler.build(aux_ds)
+        bip = self.buffers.get("bip")
+        if bip is not None and model._identity_templates():
+            # template space == full id space: the dense matrix answers aux
+            # membership too
+            self.aux_sampler = self.aux_sampler.with_dense_b(bip.B)
 
-    def _loss(self, params, buffers, k_batch, k_drop):
+    def _samplers(self):
+        return {"main": self.sampler, "aux": self.aux_sampler}
+
+    def _loss(self, params, buffers, samplers, k_batch, k_drop):
         k_main, k_aux = jax.random.split(k_batch)
-        users, pos, negs = self.sampler.sample(k_main, self.batch_size)
+        users, pos, negs = samplers["main"].sample(k_main, self.batch_size)
         bpr, l2 = bpr_loss_terms(
             self.model, params, buffers, users, pos, negs[:, 0], k_drop
         )
-        a_users, a_pos, a_negs = self.aux_sampler.sample(k_aux, self.batch_size)
+        a_users, a_pos, a_negs = samplers["aux"].sample(k_aux, self.batch_size)
         aux_pos, aux_neg = self.model.aux_scores(params, a_users, a_pos, a_negs[:, 0])
         aux_loss = jnp.mean(jax.nn.softplus(aux_neg - aux_pos))
         # reference folds aux into the "reg" term (trainer.py:313)
@@ -123,8 +139,8 @@ class IDCFTrainer(_ScanEpochTrainer):
         self.l2_reg = config["l2_reg"]
         self.contrastive_reg = config["contrastive_reg"]
 
-    def _loss(self, params, buffers, k_batch, k_drop):
-        users, pos, negs = self.sampler.sample(k_batch, self.batch_size)
+    def _loss(self, params, buffers, samplers, k_batch, k_drop):
+        users, pos, negs = samplers["main"].sample(k_batch, self.batch_size)
         neg = negs[:, 0]
         u_r, p_r, n_r, l2, contrastive = self.model.bpr_pieces_contrastive(
             params, buffers, users, pos, neg, train=True, key=k_drop

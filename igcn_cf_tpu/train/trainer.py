@@ -71,6 +71,11 @@ class BasicTrainer:
         self.batch_size = trainer_config.get("batch_size", 2048)
         if model.trainable:
             self.sampler = DeviceNegativeSampler.build(dataset)
+            bip = self.buffers.get("bip")
+            if bip is not None:
+                # dense graph engine active: share its interaction matrix for
+                # O(1) negative-membership lookups
+                self.sampler = self.sampler.with_dense_b(bip.B)
         self._epoch_fn = None
 
     # -- optimizer ----------------------------------------------------------
