@@ -109,8 +109,15 @@ def _dispatch(b, x, seed, p, swap, masked):
     # Plain matmul: XLA's convert+dot measured fastest in the full train step
     # (27.6k vs 30.9k examples/s with the Pallas plain kernel); Pallas is
     # used where the dropout mask must be fused in (XLA would materialize a
-    # multi-GB masked copy per step).
-    if masked and jax.default_backend() == "tpu":
+    # multi-GB masked copy per step). Non-tile-divisible shapes (small shard
+    # blocks) fall back to XLA.
+    m, k = b.shape
+    if (
+        masked
+        and jax.default_backend() == "tpu"
+        and m % TILE_M == 0
+        and k % TILE_K == 0
+    ):
         return _mm_pallas(b, x, seed, p, swap, masked)
     return _mm_xla(b, x, seed, p, swap, masked)
 

@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 from igcn_cf_tpu.core.registry import MODELS
 from igcn_cf_tpu.graph.build import sym_norm_adjacency
+from igcn_cf_tpu.kernels.dense_graph import (
+    BipartiteDense,
+    choose_backend,
+    sym_norm_propagate,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, spmm
 from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
@@ -25,6 +30,9 @@ class IMCGAE(Model):
         self.embedding_size = config["embedding_size"]
         self.n_layers = config["n_layers"]
         self.dropout = config["dropout"]
+        self.backend = choose_backend(
+            self.n_users, self.n_items, config.get("graph_backend", "auto")
+        )
 
     def init_params(self, key):
         return {
@@ -34,6 +42,12 @@ class IMCGAE(Model):
         }
 
     def init_buffers(self):
+        if self.backend == "dense":
+            return {
+                "bip": BipartiteDense.build(
+                    self.dataset.train_array, self.n_users, self.n_items
+                )
+            }
         coo = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)
         return {"norm_adj": SparseGraph.from_coo(coo)}
 
@@ -63,14 +77,18 @@ class IMCGAE(Model):
         )
         x = jnp.concatenate([u_rep, i_rep], axis=0)
         acc = x
-        g = buffers["norm_adj"]
         for i in range(self.n_layers):
             if train and self.dropout > 0.0:
+                # per-layer node dropout (reference model.py:578-580) is a
+                # row mask on x — exact in either backend
                 key, k_node = jax.random.split(key)
                 p = self.dropout - 0.1 * i
                 keep = jax.random.bernoulli(k_node, 1.0 - p, (n + m,))
                 x = jnp.where(keep[:, None], x / (1.0 - p), 0.0)
-            x = spmm(g, x)
+            if self.backend == "dense":
+                x = sym_norm_propagate(buffers["bip"], x)
+            else:
+                x = spmm(buffers["norm_adj"], x)
             acc = acc + x / float(i + 2)
         return acc
 

@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 from igcn_cf_tpu.core.registry import MODELS
 from igcn_cf_tpu.graph.build import l1_norm_adjacency_with_self_loops
+from igcn_cf_tpu.kernels.dense_graph import (
+    BipartiteDense,
+    choose_backend,
+    ngcf_propagate,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, edge_dropout_vals, spmm
 from igcn_cf_tpu.models.base import (
     Model,
@@ -32,6 +37,9 @@ class NGCF(Model):
         self.layer_sizes = list(config["layer_sizes"])
         self.dropout = config["dropout"]
         self.n_layers = len(self.layer_sizes)
+        self.backend = choose_backend(
+            self.n_users, self.n_items, config.get("graph_backend", "auto")
+        )
 
     def init_params(self, key):
         keys = jax.random.split(key, 1 + 2 * self.n_layers)
@@ -50,20 +58,43 @@ class NGCF(Model):
         return params
 
     def init_buffers(self):
+        if self.backend == "dense":
+            return {
+                "bip": BipartiteDense.build(
+                    self.dataset.train_array, self.n_users, self.n_items
+                )
+            }
         coo = l1_norm_adjacency_with_self_loops(
             self.dataset.train_array, self.n_users, self.n_items
         )
         return {"norm_adj": SparseGraph.from_coo(coo)}
 
     def rep(self, params, buffers, *, train, key):
-        g = buffers["norm_adj"]
-        if train and self.dropout > 0.0:
+        dropout_on = train and self.dropout > 0.0
+        # the reference samples ONE dropped adjacency per forward and reuses
+        # it across layers (reference model.py:280-284); the dense path gets
+        # the same behavior by reusing one mask key (the coordinate-hash mask
+        # is a pure function of the key)
+        k_edge = None
+        if dropout_on:
             key, k_edge = jax.random.split(key)
-            g = g.with_vals(edge_dropout_vals(g, k_edge, self.dropout))
+        g = None
+        if self.backend != "dense":
+            g = buffers["norm_adj"]
+            if dropout_on:
+                g = g.with_vals(edge_dropout_vals(g, k_edge, self.dropout))
         x = params["embedding"]
         outs = [x]
         for i in range(self.n_layers):
-            m0 = spmm(g, x)
+            if self.backend == "dense":
+                if dropout_on:
+                    m0 = ngcf_propagate(
+                        buffers["bip"], x, dropout=self.dropout, key=k_edge
+                    )
+                else:
+                    m0 = ngcf_propagate(buffers["bip"], x)
+            else:
+                m0 = spmm(g, x)
             m1 = x * m0
             h = linear_apply(params["gc_layers"][i], m0) + linear_apply(
                 params["bi_layers"][i], m1

@@ -159,3 +159,47 @@ def test_ngcf_propagate_dense_matches_sparse(tiny_ds):
     a = np.asarray(spmm(sg, x))
     b = np.asarray(ngcf_propagate(g, x))
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("NGCF", {"layer_sizes": [16, 16], "dropout": 0.0}),
+    ("IMCGAE", {"n_layers": 2, "dropout": 0.0}),
+])
+def test_dense_matches_sparse_rep_ngcf_imcgae(tiny_ds, name, extra):
+    cfg = {"name": name, "embedding_size": 16, **extra}
+    rep_s, *_ = _rep(cfg, tiny_ds, "sparse")
+    rep_d, *_ = _rep(cfg, tiny_ds, "dense")
+    scale = np.abs(rep_s).max() + 1e-9
+    np.testing.assert_allclose(rep_d / scale, rep_s / scale, atol=2e-2)
+
+
+def test_ngcf_dense_training_runs(tmp_path, monkeypatch, tiny_ds):
+    monkeypatch.chdir(tmp_path)
+    model_cfg = {
+        "name": "NGCF", "embedding_size": 16, "layer_sizes": [16, 16],
+        "dropout": 0.2, "graph_backend": "dense",
+    }
+    cfg = {
+        "name": "BPRTrainer", "optimizer": "Adam", "lr": 1e-2, "l2_reg": 1e-4,
+        "batch_size": 128, "test_batch_size": 64, "topks": [10], "n_epochs": 2,
+    }
+    model = get_model(model_cfg, tiny_ds)
+    trainer = get_trainer(cfg, tiny_ds, model)
+    best = trainer.train(verbose=False)
+    assert np.isfinite(best) and best > 0.0
+
+
+def test_imcgae_dense_training_runs(tmp_path, monkeypatch, tiny_ds):
+    monkeypatch.chdir(tmp_path)
+    model_cfg = {
+        "name": "IMCGAE", "embedding_size": 16, "n_layers": 2,
+        "dropout": 0.3, "graph_backend": "dense",
+    }
+    cfg = {
+        "name": "BPRTrainer", "optimizer": "Adam", "lr": 1e-2, "l2_reg": 0.0,
+        "batch_size": 128, "test_batch_size": 64, "topks": [10], "n_epochs": 2,
+    }
+    model = get_model(model_cfg, tiny_ds)
+    trainer = get_trainer(cfg, tiny_ds, model)
+    best = trainer.train(verbose=False)
+    assert np.isfinite(best) and best > 0.0

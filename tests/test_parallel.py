@@ -113,3 +113,51 @@ def test_sharded_inmo_train_step(mesh, tiny_ds):
     assert emb_sharding.spec == P(TABLE_AXIS, None) or len(
         emb_sharding.device_set
     ) == 8
+
+
+def test_dense_sharded_inmo_matches_single_device(mesh, tiny_ds):
+    """No-dropout sharded dense loss must equal the single-device dense
+    model's loss on the same params and batch."""
+    from igcn_cf_tpu.parallel.dense_steps import build_inmo_dense_sharded_train
+    from igcn_cf_tpu.models.base import get_model
+
+    train = build_inmo_dense_sharded_train(
+        tiny_ds, mesh, embedding_size=8, n_layers=2, dropout=0.0,
+        lr=1e-2, l2_reg=0.1, aux_reg=0.01, batch_size=64, tile=8,
+    )
+    rng = np.random.default_rng(0)
+    batch = make_batch(mesh, rng, tiny_ds, 64)
+
+    # snapshot params BEFORE the step (donated buffers are invalidated)
+    nu, ni = tiny_ds.n_users, tiny_ds.n_items
+    emb_u = np.asarray(train.params["emb_u"]).reshape(-1, 8)[:nu]
+    emb_i = np.asarray(train.params["emb_i"]).reshape(-1, 8)[:ni]
+    toks = np.asarray(train.params["toks"])
+    w = np.asarray(train.params["w"])
+
+    # step returns the loss at the PRE-update params
+    params, opt_state, loss = train.step(
+        train.params, train.opt_state, train.buffers, batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+
+    model = get_model(
+        {"name": "IGCN", "embedding_size": 8, "n_layers": 2, "dropout": 0.0,
+         "feature_ratio": 1.0, "graph_backend": "dense"},
+        tiny_ds,
+    )
+    buffers = model.init_buffers()
+    sp_params = {
+        "embedding": jnp.asarray(np.concatenate([emb_u, emb_i, toks], axis=0)),
+        "w": jnp.asarray(w),
+    }
+    u, p_, n_, au, ap, an = [np.asarray(x) for x in batch]
+    ur, pr, nr, l2 = model.bpr_pieces(
+        sp_params, buffers, jnp.asarray(u), jnp.asarray(p_), jnp.asarray(n_),
+        train=False, key=None,
+    )
+    bpr = jnp.mean(jax.nn.softplus(jnp.sum(ur * nr, 1) - jnp.sum(ur * pr, 1)))
+    aps, ans = model.aux_scores(sp_params, jnp.asarray(au), jnp.asarray(ap), jnp.asarray(an))
+    aux = jnp.mean(jax.nn.softplus(ans - aps))
+    want = float(bpr + 0.1 * jnp.mean(l2) + 0.01 * aux)
+    np.testing.assert_allclose(float(loss), want, rtol=2e-3)
