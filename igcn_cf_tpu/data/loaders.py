@@ -140,24 +140,51 @@ def load_processed(config: dict) -> Interactions:
 
 
 class _RawRecords:
-    """Two-pass raw parse: pass 1 builds interaction sets for k-core
-    filtering, pass 2 builds timestamped interaction lists."""
+    """Vectorized raw-record processing: factorize raw ids to dense codes,
+    run the k-core peel and earliest-timestamp dedupe through the native
+    (C++) kernels (igcn_cf_tpu/native, numpy fallback), and build the
+    per-user interaction lists.
+
+    Node-id assignment is first-appearance order over the SURVIVING edges
+    (the reference enumerates its dict keys in raw insertion order,
+    reference dataset.py:84-89 — a node numbering permutation with no effect
+    on graph structure or metrics)."""
 
     def __init__(self, records, min_inter: int):
-        user_sets: Dict = {}
-        item_sets: Dict = {}
-        cached = []
+        raw_u, raw_i, raw_t = [], [], []
         for u, i, t in records:
-            cached.append((u, i, t))
-            _update_ui_sets(u, i, user_sets, item_sets)
-        self.user_map, self.item_map = remove_sparse_ui(
-            user_sets, item_sets, min_inter
+            raw_u.append(u)
+            raw_i.append(i)
+            raw_t.append(t)
+        u_keys, u_codes = np.unique(np.asarray(raw_u), return_inverse=True)
+        i_keys, i_codes = np.unique(np.asarray(raw_i), return_inverse=True)
+        times = np.asarray(raw_t, dtype=np.int64)
+
+        from igcn_cf_tpu import native
+
+        keep_idx, tmin = native.dedup_earliest(u_codes, i_codes, times)
+        u_codes = u_codes[keep_idx].astype(np.int64)
+        i_codes = i_codes[keep_idx].astype(np.int64)
+        times = tmin
+        keep, user_map_arr, item_map_arr = native.kcore_filter(
+            u_codes, i_codes, len(u_keys), len(i_keys), min_inter
         )
-        self.n_users = len(self.user_map)
-        self.n_items = len(self.item_map)
+        u_codes, i_codes, times = u_codes[keep], i_codes[keep], times[keep]
+        self.n_users = int(user_map_arr.max() + 1) if len(u_codes) else 0
+        self.n_items = int(item_map_arr.max() + 1) if len(i_codes) else 0
+        self.user_map = {
+            u_keys[c]: int(user_map_arr[c])
+            for c in np.nonzero(user_map_arr >= 0)[0]
+        }
+        self.item_map = {
+            i_keys[c]: int(item_map_arr[c])
+            for c in np.nonzero(item_map_arr >= 0)[0]
+        }
         self.inter_lists: List[List[List[int]]] = [[] for _ in range(self.n_users)]
-        for u, i, t in cached:
-            _update_inter_lists(u, i, t, self.user_map, self.item_map, self.inter_lists)
+        mapped_u = user_map_arr[u_codes]
+        mapped_i = item_map_arr[i_codes]
+        for u, i, t in zip(mapped_u, mapped_i, times):
+            self.inter_lists[u].append([int(i), int(t)])
 
 
 def _gowalla_records(path: str):
