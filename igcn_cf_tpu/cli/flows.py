@@ -27,11 +27,16 @@ from igcn_cf_tpu.train.trainer import get_trainer
 
 
 def train_eval_transductive(dataset_config, model_config, trainer_config,
-                            writer=None, verbose=True):
-    """reference run/run.py:10-26."""
+                            writer=None, verbose=True, resume=False):
+    """reference run/run.py:10-26 (+ optional crash-resume)."""
+    import os
+
     dataset = get_dataset(dataset_config)
     model = get_model(model_config, dataset)
     trainer = get_trainer(trainer_config, dataset, model)
+    if resume and os.path.exists(trainer.state_path):
+        trainer.load_state()
+        print(f"Resumed from {trainer.state_path} at epoch {trainer.start_epoch}")
     trainer.train(verbose=verbose, writer=writer)
     results, metrics = trainer.eval("test")
     print("Test result. {:s}".format(results))

@@ -50,9 +50,22 @@ def cmd_run(args):
     from igcn_cf_tpu.cli.flows import train_eval_transductive
 
     set_seed(args.seed)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     dc, mc, tc = _select(args)
+    if args.resume:
+        tc["state_interval"] = tc.get("state_interval", 5)
     writer = MetricsWriter(args.log_dir) if args.log_dir else None
-    train_eval_transductive(dc, mc, tc, writer=writer)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            train_eval_transductive(dc, mc, tc, writer=writer,
+                                    resume=args.resume)
+    else:
+        train_eval_transductive(dc, mc, tc, writer=writer, resume=args.resume)
 
 
 def cmd_dropit(args):
@@ -137,6 +150,12 @@ def build_parser():
         sp.add_argument("--seed", type=int, default=2021)
         sp.add_argument("--n-epochs", type=int, default=None)
         sp.add_argument("--log-dir", default=None)
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans checks")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from checkpoints/train_state.pkl if present")
 
     sp = sub.add_parser("run", help="transductive train + test eval")
     common(sp)
