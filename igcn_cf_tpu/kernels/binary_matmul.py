@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from igcn_cf_tpu.kernels.masked_matmul import _keep_mask, _seed_from_key
+from igcn_cf_tpu.kernels.masked_matmul import (
+    _keep_mask,
+    _mix_hash,
+    _seed_from_key,
+    _threshold_u8,
+)
 
 # tuned on TPU v5e at Gowalla scale (tools/microbench_tiles2.py): 512x1024
 # hits 513 GB/s in-kernel; the plain (unmasked) path doesn't use Pallas at
@@ -37,18 +42,57 @@ TILE_K = 1024
 
 def _make_kernel(p: float, swap: bool, masked: bool, tm: int, tk: int):
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     def kernel(seed_ref, b_ref, x_ref, out_ref):
         j = pl.program_id(1)
         a = b_ref[:].astype(jnp.bfloat16)
         if masked:
+            # byte-packed quadrant mask (masked_matmul.PACK_* geometry): one
+            # (., QB) hash grid serves the tile's four canonical-column
+            # quadrants with a static byte index per quadrant
+            from igcn_cf_tpu.kernels.masked_matmul import PACK_QB, PACK_TB
+
             i = pl.program_id(0)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tk), 0) + i * tm
-            cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tk), 1) + j * tk
-            if swap:  # operating on B^T: canonical coords are (col, row)
-                rows, cols = cols, rows
-            keep = _keep_mask(seed_ref[0], rows, cols, p)
-            a = jnp.where(keep, a, jnp.bfloat16(0.0))
+            seed = seed_ref[0]
+            thr = _threshold_u8(p)
+            if not swap:
+                # canonical cols = tile cols; tk == PACK_TB (asserted in
+                # _mm_pallas), so the tile spans exactly one TB block
+                rows_s = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tm, PACK_QB), 0) + i * tm
+                )
+                words_s = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tm, PACK_QB), 1)
+                    + j * PACK_QB
+                )
+                h = _mix_hash(seed, rows_s, words_s)
+                quarters = []
+                for q in range(4):
+                    keep = ((h >> np.uint32(8 * q)) & np.uint32(0xFF)) >= thr
+                    sl = a[:, q * PACK_QB : (q + 1) * PACK_QB]
+                    quarters.append(jnp.where(keep, sl, jnp.bfloat16(0.0)))
+                a = jnp.concatenate(quarters, axis=1)
+            else:
+                # canonical rows = tile COLUMN ids; canonical cols = tile ROW
+                # ids C = i*tm + r with tm == PACK_TB//2: the tile covers two
+                # QB row-halves of TB block i//2, at byte offset (i%2)*2
+                half = tm // 2  # == PACK_QB
+                cols_s = (
+                    jax.lax.broadcasted_iota(jnp.int32, (half, tk), 1) + j * tk
+                )
+                words_s = jax.lax.broadcasted_iota(jnp.int32, (half, tk), 0) + (
+                    i // 2
+                ) * PACK_QB
+                h = _mix_hash(seed, cols_s, words_s)
+                base = np.uint32(16) * (i % 2).astype(jnp.uint32)
+                halves = []
+                for q in range(2):
+                    shift = base + np.uint32(8 * q)
+                    keep = ((h >> shift) & np.uint32(0xFF)) >= thr
+                    sl = a[q * half : (q + 1) * half, :]
+                    halves.append(jnp.where(keep, sl, jnp.bfloat16(0.0)))
+                a = jnp.concatenate(halves, axis=0)
 
         @pl.when(j == 0)
         def _():

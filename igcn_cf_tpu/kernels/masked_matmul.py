@@ -48,13 +48,36 @@ def _mix_hash(seed: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.nd
     return h
 
 
+def _threshold_u8(p: float) -> np.uint32:
+    """Dropout prob quantized to 1/256 steps (documented deviation: p becomes
+    round(p*256)/256 — e.g. 0.3 -> 0.30078)."""
+    return np.uint32(max(0, min(255, int(round(p * 256)))))
+
+
+# Byte-packing geometry: the canonical column space is viewed in TB-wide
+# blocks split into 4 QB-wide quadrants; entry (r, C) reads byte
+# (C % TB) // QB of hash word ((C // TB) * QB + C % QB, r). Within one
+# aligned (.., TB) kernel tile the four quadrants share ONE (.., QB) hash
+# grid with a STATIC byte index per quadrant — 4x less hash work and no
+# per-element byte selector on the VPU.
+PACK_TB = 1024
+PACK_QB = PACK_TB // 4
+
+
 def _keep_mask(seed, rows, cols, p: float) -> jnp.ndarray:
-    h = _mix_hash(seed, rows, cols)
-    # integer threshold compare (Mosaic has no uint32->float cast): the top
-    # 31 bits are uniform in [0, 2^31); keep iff >= p * 2^31 — matching the
-    # reference's keep-when-rand>=p semantics (reference model.py:266-268)
-    hi = jax.lax.bitcast_convert_type(h >> np.uint32(1), jnp.int32)
-    return hi >= np.int32(min(p, 1.0) * (2**31 - 1))
+    """Byte-packed keep mask as a pure function of canonical global
+    coordinates — the identical formula backs the XLA fallback, the Pallas
+    forward tile and the transposed backward tile. Keep iff byte >= p*256 —
+    the reference's keep-when-rand>=p semantics (reference model.py:266-268)
+    with p quantized to 1/256."""
+    cols = cols.astype(jnp.uint32)
+    word = (cols // np.uint32(PACK_TB)) * np.uint32(PACK_QB) + (
+        cols % np.uint32(PACK_QB)
+    )
+    byte_sel = (cols % np.uint32(PACK_TB)) // np.uint32(PACK_QB)
+    h = _mix_hash(seed, rows, word)
+    byte = (h >> (np.uint32(8) * byte_sel)) & np.uint32(0xFF)
+    return byte >= _threshold_u8(p)
 
 
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
