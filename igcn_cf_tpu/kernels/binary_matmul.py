@@ -149,15 +149,18 @@ def _mm_xla(b, x, seed, p: float, swap: bool, masked: bool):
     return jnp.dot(a, x.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
 
 
-def _dispatch(b, x, seed, p, swap, masked):
+def _dispatch(b, x, seed, p, swap, masked, lean=False):
     # Plain matmul: XLA's convert+dot measured fastest in the full train step
-    # (27.6k vs 30.9k examples/s with the Pallas plain kernel); Pallas is
-    # used where the dropout mask must be fused in (XLA would materialize a
-    # multi-GB masked copy per step). Non-tile-divisible shapes (small shard
-    # blocks) fall back to XLA.
+    # (27.6k vs 30.9k examples/s with the Pallas plain kernel) BUT it hoists
+    # a bf16 copy of B out of epoch scans (~2x extra HBM residency). ``lean``
+    # forces the Pallas kernel for plain matmuls too — ~25% slower, no bf16
+    # copy — for catalogs that only fit as int8 (dense_graph.choose_backend).
+    # The masked path is always Pallas (XLA would materialize a multi-GB
+    # masked copy per step). Non-tile-divisible shapes (small shard blocks)
+    # fall back to XLA.
     m, k = b.shape
     if (
-        masked
+        (masked or lean)
         and jax.default_backend() == "tpu"
         and m % TILE_M == 0
         and k % TILE_K == 0
@@ -169,19 +172,19 @@ def _dispatch(b, x, seed, p, swap, masked):
 _ZERO_SEED = np.uint32(0)
 
 
-@jax.custom_vjp
-def binary_matmul(b, bt, x):
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def binary_matmul(b, bt, x, lean: bool = False):
     """B @ x with int8 B; backward uses the pre-stored transpose."""
-    return _dispatch(b, x, jnp.uint32(0), 0.0, swap=False, masked=False)
+    return _dispatch(b, x, jnp.uint32(0), 0.0, swap=False, masked=False, lean=lean)
 
 
-def _bm_fwd(b, bt, x):
-    return binary_matmul(b, bt, x), (bt,)
+def _bm_fwd(b, bt, x, lean):
+    return binary_matmul(b, bt, x, lean), (bt,)
 
 
-def _bm_bwd(res, ct):
+def _bm_bwd(lean, res, ct):
     (bt,) = res
-    dx = _dispatch(bt, ct, jnp.uint32(0), 0.0, swap=True, masked=False)
+    dx = _dispatch(bt, ct, jnp.uint32(0), 0.0, swap=True, masked=False, lean=lean)
     return (None, None, dx.astype(jnp.float32))
 
 

@@ -58,22 +58,26 @@ def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["B", "BT", "deg_u", "deg_i"],
-    meta_fields=["n_users", "n_items"],
+    meta_fields=["n_users", "n_items", "lean"],
 )
 @dataclass(frozen=True)
 class BipartiteDense:
     """Binary interaction matrix (padded to tile multiples), both
-    orientations, plus logical-size degree vectors."""
+    orientations, plus logical-size degree vectors. ``lean=True`` routes
+    plain matmuls through the Pallas kernel too (no hoisted bf16 copies —
+    for catalogs that only fit as int8)."""
 
-    B: jnp.ndarray  # (nup, nip) bf16 in {0, 1}
-    BT: jnp.ndarray  # (nip, nup) bf16
+    B: jnp.ndarray  # (nup, nip) int8 in {0, 1}
+    BT: jnp.ndarray  # (nip, nup) int8
     deg_u: jnp.ndarray  # (n_users,) f32
     deg_i: jnp.ndarray  # (n_items,) f32
     n_users: int
     n_items: int
+    lean: bool = False
 
     @staticmethod
-    def build(train_array: np.ndarray, n_users: int, n_items: int) -> "BipartiteDense":
+    def build(train_array: np.ndarray, n_users: int, n_items: int,
+              lean: bool = False) -> "BipartiteDense":
         nup, nip = _pad_to(n_users), _pad_to(n_items)
         b = np.zeros((nup, nip), dtype=np.float32)
         if len(train_array):
@@ -87,6 +91,7 @@ class BipartiteDense:
             deg_i=jnp.asarray(deg_i.astype(np.float32)),
             n_users=n_users,
             n_items=n_items,
+            lean=lean,
         )
 
     # B @ xi -> (n_users, d)
@@ -94,14 +99,14 @@ class BipartiteDense:
         from igcn_cf_tpu.kernels.binary_matmul import binary_matmul
 
         xi = _pad_rows(xi, self.B.shape[1])
-        return binary_matmul(self.B, self.BT, xi)[: self.n_users]
+        return binary_matmul(self.B, self.BT, xi, self.lean)[: self.n_users]
 
     # B^T @ xu -> (n_items, d)
     def mm_iu(self, xu: jnp.ndarray) -> jnp.ndarray:
         from igcn_cf_tpu.kernels.binary_matmul import binary_matmul
 
         xu = _pad_rows(xu, self.BT.shape[1])
-        return binary_matmul(self.BT, self.B, xu)[: self.n_items]
+        return binary_matmul(self.BT, self.B, xu, self.lean)[: self.n_items]
 
     def mm_ui_dropped(self, xi, key, p: float) -> jnp.ndarray:
         from igcn_cf_tpu.kernels.binary_matmul import binary_matmul_dropped
@@ -202,7 +207,14 @@ def feat_aggregate(
     return jnp.concatenate([w_u[:, None] * xu, w_i[:, None] * xi], axis=0)
 
 
-DENSE_BUDGET_BYTES = 10 * 1024**3  # both int8 halves must fit under this
+# Budgets for the dense engine on a 16 GiB chip. Fast mode (XLA plain
+# matmuls) has ~3x the int8 footprint resident: XLA hoists a bf16 copy of
+# each half out of epoch scans. Lean mode keeps only the int8 halves (all
+# matmuls through the Pallas kernel, ~25% slower plain path). Gowalla
+# (2.4 GiB) and Yelp (2.6 GiB) get fast mode; Amazon-book (9.8 GiB) gets
+# lean mode; anything bigger falls back to the sparse engine.
+DENSE_BUDGET_BYTES = 4 * 1024**3
+DENSE_LEAN_BUDGET_BYTES = 11 * 1024**3
 
 
 def dense_fits(n_users: int, n_items: int, budget: int = DENSE_BUDGET_BYTES) -> bool:
@@ -210,12 +222,15 @@ def dense_fits(n_users: int, n_items: int, budget: int = DENSE_BUDGET_BYTES) -> 
 
 
 def choose_backend(n_users: int, n_items: int, requested: str = "auto") -> str:
-    """'dense' on TPU when the bf16 halves fit the budget; 'sparse'
-    otherwise. CPU 'auto' stays sparse (tests force 'dense' explicitly)."""
-    if requested in ("dense", "sparse"):
+    """'dense' (fast) / 'dense_lean' / 'sparse' on TPU by memory budget; CPU
+    'auto' stays sparse (tests force dense modes explicitly)."""
+    if requested in ("dense", "dense_lean", "sparse"):
         return requested
     if requested != "auto":
         raise ValueError(f"unknown graph backend {requested!r}")
-    if jax.default_backend() == "tpu" and dense_fits(n_users, n_items):
-        return "dense"
+    if jax.default_backend() == "tpu":
+        if dense_fits(n_users, n_items):
+            return "dense"
+        if dense_fits(n_users, n_items, DENSE_LEAN_BUDGET_BYTES):
+            return "dense_lean"
     return "sparse"

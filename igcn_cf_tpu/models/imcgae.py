@@ -42,10 +42,11 @@ class IMCGAE(Model):
         }
 
     def init_buffers(self):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return {
                 "bip": BipartiteDense.build(
-                    self.dataset.train_array, self.n_users, self.n_items
+                    self.dataset.train_array, self.n_users, self.n_items,
+                    lean=self.backend == "dense_lean",
                 )
             }
         coo = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)
@@ -85,7 +86,7 @@ class IMCGAE(Model):
                 p = self.dropout - 0.1 * i
                 keep = jax.random.bernoulli(k_node, 1.0 - p, (n + m,))
                 x = jnp.where(keep[:, None], x / (1.0 - p), 0.0)
-            if self.backend == "dense":
+            if self.backend.startswith("dense"):
                 x = sym_norm_propagate(buffers["bip"], x)
             else:
                 x = spmm(buffers["norm_adj"], x)

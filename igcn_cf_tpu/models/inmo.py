@@ -93,7 +93,7 @@ class IGCN(Model):
         }
 
     def init_buffers(self):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return self._init_buffers_dense()
         adj = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)
         feat = build_feat_mat(
@@ -123,7 +123,7 @@ class IGCN(Model):
         adjacency and the feat matrix; template selection becomes zero-padded
         embedding scatter (kernels/dense_graph.py docstring)."""
         arr = self.dataset.train_array
-        bip = BipartiteDense.build(arr, self.n_users, self.n_items)
+        bip = BipartiteDense.build(arr, self.n_users, self.n_items, lean=self.backend == "dense_lean")
         # template membership + scatter indices, ordered by template index
         core_u = np.array(
             sorted(self.user_map, key=self.user_map.get), dtype=np.int32
@@ -164,7 +164,7 @@ class IGCN(Model):
         )
 
     def inductive_rep_layer(self, params, buffers, *, train, key):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return self._inductive_rep_dense(params, buffers, train=train, key=key)
         g = buffers["feat_graph"].with_vals(self._feat_vals(buffers))
         if train and self.dropout > 0.0:
@@ -209,7 +209,7 @@ class IGCN(Model):
 
     def rep(self, params, buffers, *, train, key):
         x0 = self.inductive_rep_layer(params, buffers, train=train, key=key)
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return sym_norm_propagate_mean(buffers["bip"], x0, self.n_layers)
         return propagate_mean(buffers["norm_adj"], x0, self.n_layers)
 

@@ -44,10 +44,11 @@ class LightGCN(Model):
         }
 
     def init_buffers(self):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return {
                 "bip": BipartiteDense.build(
-                    self.dataset.train_array, self.n_users, self.n_items
+                    self.dataset.train_array, self.n_users, self.n_items,
+                    lean=self.backend == "dense_lean",
                 )
             }
         coo = sym_norm_adjacency(
@@ -56,7 +57,7 @@ class LightGCN(Model):
         return {"norm_adj": SparseGraph.from_coo(coo)}
 
     def rep(self, params, buffers, *, train, key):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return sym_norm_propagate_mean(
                 buffers["bip"], params["embedding"], self.n_layers
             )

@@ -58,10 +58,11 @@ class NGCF(Model):
         return params
 
     def init_buffers(self):
-        if self.backend == "dense":
+        if self.backend.startswith("dense"):
             return {
                 "bip": BipartiteDense.build(
-                    self.dataset.train_array, self.n_users, self.n_items
+                    self.dataset.train_array, self.n_users, self.n_items,
+                    lean=self.backend == "dense_lean",
                 )
             }
         coo = l1_norm_adjacency_with_self_loops(
@@ -79,14 +80,14 @@ class NGCF(Model):
         if dropout_on:
             key, k_edge = jax.random.split(key)
         g = None
-        if self.backend != "dense":
+        if not self.backend.startswith("dense"):
             g = buffers["norm_adj"]
             if dropout_on:
                 g = g.with_vals(edge_dropout_vals(g, k_edge, self.dropout))
         x = params["embedding"]
         outs = [x]
         for i in range(self.n_layers):
-            if self.backend == "dense":
+            if self.backend.startswith("dense"):
                 if dropout_on:
                     m0 = ngcf_propagate(
                         buffers["bip"], x, dropout=self.dropout, key=k_edge
