@@ -142,15 +142,3 @@ def propagate_mean_local(
     return acc / float(n_layers + 1)
 
 
-def graph_specs() -> ShardedGraph:
-    """PartitionSpecs for a ShardedGraph's leaves: edge partitions live on
-    their shard."""
-    return ShardedGraph(
-        rows_local=P(TABLE_AXIS, None),  # type: ignore[arg-type]
-        cols=P(TABLE_AXIS, None),  # type: ignore[arg-type]
-        vals=P(TABLE_AXIS, None),  # type: ignore[arg-type]
-        n_rows=0,
-        n_cols=0,
-        rows_per_shard=0,
-        n_shards=0,
-    )

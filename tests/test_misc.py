@@ -120,3 +120,21 @@ def test_val_interval_skips_validation(tmp_path, monkeypatch):
     trainer.train(verbose=False)
     assert evals.count("val") == 2  # epochs 1 and 3 only
     assert evals.count("train") == 4
+
+
+def test_choose_backend_budgets(monkeypatch):
+    import igcn_cf_tpu.kernels.dense_graph as dg
+
+    # explicit requests pass through
+    assert dg.choose_backend(10, 10, "sparse") == "sparse"
+    assert dg.choose_backend(10, 10, "dense") == "dense"
+    assert dg.choose_backend(10, 10, "dense_lean") == "dense_lean"
+    with pytest.raises(ValueError):
+        dg.choose_backend(10, 10, "bogus")
+    # auto on CPU stays sparse
+    assert dg.choose_backend(100, 100, "auto") == "sparse"
+    # auto on TPU: fast under 4 GiB, lean under 11 GiB, else sparse
+    monkeypatch.setattr(dg.jax, "default_backend", lambda: "tpu")
+    assert dg.choose_backend(29858, 40981, "auto") == "dense"      # Gowalla
+    assert dg.choose_backend(52643, 91599, "auto") == "dense_lean" # Amazon
+    assert dg.choose_backend(300000, 300000, "auto") == "sparse"
