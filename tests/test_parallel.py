@@ -193,3 +193,26 @@ def test_sharded_recommend_matches_single_device(mesh, tiny_ds):
         rec_set = set(got[u].tolist())
         assert not (rec_set & set(range(10)))
         assert not (rec_set & set(tiny_ds.train[u]))
+
+
+def test_dense_sharded_inmo_with_dropout(mesh, tiny_ds):
+    """Dropout-on sharded step: per-shard mask seeds, finite losses, params
+    actually move."""
+    from igcn_cf_tpu.parallel.dense_steps import build_inmo_dense_sharded_train
+
+    train = build_inmo_dense_sharded_train(
+        tiny_ds, mesh, embedding_size=8, n_layers=2, dropout=0.3,
+        lr=1e-2, l2_reg=0.0, aux_reg=0.01, batch_size=64, tile=8,
+    )
+    rng = np.random.default_rng(1)
+    params, opt_state = train.params, train.opt_state
+    before = np.asarray(params["emb_u"]).copy()
+    losses = []
+    for i in range(3):
+        batch = make_batch(mesh, rng, tiny_ds, 64)
+        params, opt_state, loss = train.step(
+            params, opt_state, train.buffers, batch, jax.random.PRNGKey(i)
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert not np.allclose(np.asarray(params["emb_u"]), before)
