@@ -138,3 +138,47 @@ def test_choose_backend_budgets(monkeypatch):
     assert dg.choose_backend(29858, 40981, "auto") == "dense"      # Gowalla
     assert dg.choose_backend(52643, 91599, "auto") == "dense_lean" # Amazon
     assert dg.choose_backend(300000, 300000, "auto") == "sparse"
+
+
+def test_grid_search_end_to_end(tmp_path, monkeypatch):
+    """Two-point grid over tiny MF: the tune harness trains per combo,
+    reseeds, and returns the argmax (reference hyperparameter flow)."""
+    monkeypatch.chdir(tmp_path)
+    from igcn_cf_tpu.data.synthetic import synthetic_interactions
+    from igcn_cf_tpu.tuning.grid import grid_search
+
+    ds = synthetic_interactions(n_users=40, n_items=50, avg_degree=8, seed=2)
+    ds.output(str(tmp_path / "ds"))
+    out = grid_search(
+        {"name": "ProcessedDataset", "path": str(tmp_path / "ds")},
+        {"name": "MF", "embedding_size": 8},
+        {"name": "BPRTrainer", "optimizer": "Adam", "l2_reg": 0.0,
+         "batch_size": 64, "test_batch_size": 32, "topks": [5], "n_epochs": 2},
+        {"lr": [1e-2, 1e-3]},
+        verbose=False,
+    )
+    assert len(out["trials"]) == 2
+    assert out["best_params"] in ({"lr": 1e-2}, {"lr": 1e-3})
+    assert out["best_ndcg"] == max(t["ndcg"] for t in out["trials"])
+
+
+def test_template_ratio_sweep_micro(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from igcn_cf_tpu.analysis.plots import template_ratio_sweep
+    from igcn_cf_tpu.data.synthetic import synthetic_interactions
+
+    ds = synthetic_interactions(n_users=40, n_items=50, avg_degree=8, seed=3)
+    ds.output(str(tmp_path / "ds"))
+    sweep = template_ratio_sweep(
+        {"name": "ProcessedDataset", "path": str(tmp_path / "ds")},
+        {"name": "IMF", "embedding_size": 8, "n_layers": 0, "dropout": 0.1,
+         "feature_ratio": 1.0},
+        {"name": "IGCNTrainer", "optimizer": "Adam", "lr": 1e-2, "l2_reg": 0.0,
+         "aux_reg": 0.01, "batch_size": 64, "test_batch_size": 32,
+         "topks": [5], "n_epochs": 2},
+        ratios=(0.5, 1.0),
+        ranking_metrics=("degree",),
+    )
+    assert sweep["ratio"] == [0.5, 1.0]
+    assert len(sweep["degree"]) == 2
+    assert all(np.isfinite(v) for v in sweep["degree"])
