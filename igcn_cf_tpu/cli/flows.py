@@ -140,3 +140,31 @@ def run_dropui(dataset_config, model_config, trainer_config, writer=None,
         print("Popularity model results.")
         out["popularity"] = pop_trainer.inductive_eval(old_n_users, old_n_items)
     return out
+
+
+def train_eval_sharded(dataset_config, model_config, trainer_config, *,
+                       data=1, table=None, log_dir=None, verbose=True):
+    """Multi-chip transductive flow: the reference run/run.py loop with the
+    sharded INMO trainer (parallel/trainer.py) over a ('data','table') mesh.
+    Requires an IGCN/IMF model config (the sharded engine is INMO-specific)."""
+    import jax
+
+    from igcn_cf_tpu.core.mesh import initialize_distributed, make_mesh
+    from igcn_cf_tpu.parallel.trainer import ShardedIGCNTrainer
+    from igcn_cf_tpu.utils.logging import MetricsWriter
+
+    if model_config["name"] not in ("IGCN", "IMF"):
+        raise ValueError(
+            f"--mesh training supports IGCN/IMF, not {model_config['name']}"
+        )
+    initialize_distributed()
+    mesh = make_mesh(jax.devices(), data=data, table=table)
+    dataset = get_dataset(dataset_config)
+    if model_config["name"] == "IMF":
+        model_config = dict(model_config, n_layers=0)
+    writer = MetricsWriter(log_dir) if log_dir else None
+    trainer = ShardedIGCNTrainer(trainer_config, dataset, mesh, model_config)
+    trainer.train(verbose=verbose, writer=writer)
+    results, metrics = trainer.eval("test")
+    print("Test result. {:s}".format(results))
+    return trainer, metrics

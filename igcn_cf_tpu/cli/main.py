@@ -55,6 +55,13 @@ def cmd_run(args):
 
         jax.config.update("jax_debug_nans", True)
     dc, mc, tc = _select(args)
+    if getattr(args, "mesh", None):
+        from igcn_cf_tpu.cli.flows import train_eval_sharded
+
+        data, table = (int(x) for x in args.mesh.lower().split("x"))
+        train_eval_sharded(dc, mc, tc, data=data, table=table,
+                           log_dir=args.log_dir)
+        return
     if args.resume:
         tc["state_interval"] = tc.get("state_interval", 5)
     writer = MetricsWriter(args.log_dir) if args.log_dir else None
@@ -135,7 +142,21 @@ def cmd_derive(args):
 def cmd_tune(args):
     from igcn_cf_tpu.tuning.grid import tune_preset
 
-    tune_preset(args.dataset, args.config, data_path=args.data_path)
+    population = "auto"
+    if args.population:
+        population = True
+    elif args.sequential:
+        population = False
+    mesh = None
+    if args.trial_mesh:
+        import jax
+
+        from igcn_cf_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.trial_mesh], data=args.trial_mesh,
+                         table=1)
+    tune_preset(args.dataset, args.config, data_path=args.data_path,
+                population=population, mesh=mesh)
 
 
 def build_parser():
@@ -159,6 +180,9 @@ def build_parser():
 
     sp = sub.add_parser("run", help="transductive train + test eval")
     common(sp)
+    sp.add_argument("--mesh", default=None, metavar="DxT",
+                    help="train sharded over a data x table device mesh "
+                         "(IGCN/IMF), e.g. --mesh 2x4")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("dropit", help="inductive new-interaction protocol")
@@ -184,6 +208,12 @@ def build_parser():
 
     sp = sub.add_parser("tune", help="hyperparameter grid search")
     common(sp)
+    sp.add_argument("--population", action="store_true",
+                    help="force the batched population search")
+    sp.add_argument("--sequential", action="store_true",
+                    help="force the reference-style sequential search")
+    sp.add_argument("--trial-mesh", type=int, default=None, metavar="N",
+                    help="shard population trials over N devices")
     sp.set_defaults(fn=cmd_tune)
     return p
 

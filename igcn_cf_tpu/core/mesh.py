@@ -8,14 +8,33 @@ multi-chip substrate the engine scales on: a 2-D logical mesh with
     tables, node representations and the item axis of score matrices are
     sharded here; the SpMM and top-k kernels ride XLA collectives over it.
 
+Axis-to-fabric mapping (multi-host): the ``table`` axis carries the heavy
+collectives — per-step all-gathers of node representations and
+reduce-scatters of table gradients — so it is laid out over ICI (devices
+within a host/slice). The ``data`` axis only moves scalar loss pmeans and
+small batch shards, so it spans DCN (across processes). This is the standard
+GSPMD recipe (How to Scale Your Model; SURVEY.md §5 distributed-backend row).
+
 On a single chip everything degrades to a (1, 1) mesh and shardings become
 no-ops. Tests force an 8-device CPU mesh via
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8``.
+
+Multi-host launch recipe (one process per host, all hosts run the same
+program)::
+
+    from igcn_cf_tpu.core.mesh import initialize_distributed, make_mesh
+    initialize_distributed()          # no-op on single host / TPU pod auto-detect
+    mesh = make_mesh()                # data=process_count over DCN, table=local over ICI
+
+On Cloud TPU pods ``jax.distributed.initialize()`` auto-detects the
+coordinator; elsewhere set ``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``
+and ``JAX_PROCESS_ID`` (read here as a fallback).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -25,6 +44,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 TABLE_AXIS = "table"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the multi-process JAX runtime (no-op when single-process).
+
+    Call once at program start on every host, before any other JAX call. On
+    Cloud TPU slices the arguments auto-detect; for manual launches they come
+    from ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` or can be passed explicitly. The reference has no
+    distributed substrate at all (SURVEY.md §2.2) — this is new capability.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # Single-host run (or TPU-pod auto-detection unavailable): nothing to
+        # initialize; jax.process_count() stays 1.
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+
 
 def make_mesh(
     devices: Sequence[jax.Device] | None = None,
@@ -33,10 +89,36 @@ def make_mesh(
 ) -> Mesh:
     """Build a ('data', 'table') mesh over the available devices.
 
-    If axis sizes are not given, puts everything on the table axis when there
-    are multiple devices (catalog size, not batch size, is the scale axis of
-    this workload — SURVEY.md §5).
+    Single-process (the common case here): if axis sizes are not given, puts
+    everything on the table axis (catalog size, not batch size, is the scale
+    axis of this workload — SURVEY.md §5).
+
+    Multi-process: defaults to ``data = process_count`` across DCN and
+    ``table = local_device_count`` within each host's ICI domain, and lays the
+    device array out so each mesh row is one process's devices — table-axis
+    collectives (rep all-gather, grad reduce-scatter) never cross DCN. Explicit
+    ``data``/``table`` overrides are honored as long as the table axis stays
+    within a host (table <= local_device_count or table % local == 0).
     """
+    n_proc = jax.process_count()
+    if devices is None and n_proc > 1:
+        local = jax.local_device_count()
+        if data is None and table is None:
+            data, table = n_proc, local
+        elif table is None:
+            table = (n_proc * local) // data
+        elif data is None:
+            data = (n_proc * local) // table
+        if data * table != n_proc * local:
+            raise ValueError(
+                f"mesh {data}x{table} != {n_proc * local} devices"
+            )
+        # order devices process-major so reshape(data, table) keeps each
+        # table group inside one process when table <= local
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs).reshape(data, table)
+        return Mesh(arr, (DATA_AXIS, TABLE_AXIS))
+
     if devices is None:
         devices = jax.devices()
     n = len(devices)

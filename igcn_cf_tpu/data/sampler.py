@@ -63,9 +63,11 @@ class DeviceNegativeSampler:
                    ``n_items`` (an id one past the catalog, compares greater
                    than every valid item)
     user_degree  : (n_users,) train degrees
-    dense_b      : optional (>=n_users, >=n_items) int8 interaction matrix
-                   (shared with the dense graph engine) for O(1) membership
-                   lookups instead of per-candidate binary search
+    dense_b      : optional interaction matrix shared with the dense graph
+                   engine for O(1) membership lookups instead of
+                   per-candidate binary search: either the bit-packed uint32
+                   layout (kernels/bitpack.py; the round-2 engine) or a dense
+                   int8 0/1 matrix
     n_items      : catalog size (static)
     """
 
@@ -126,9 +128,16 @@ class DeviceNegativeSampler:
         )
         if self.dense_b is not None:
             users_b = jnp.broadcast_to(users[:, None], (batch_size, neg_ratio * MAX_RETRIES))
-            is_pos = (
-                self.dense_b[users_b.reshape(-1), cand.reshape(-1)] > 0
-            ).reshape(cand.shape)
+            if self.dense_b.dtype == jnp.uint32:  # bit-packed layout
+                from igcn_cf_tpu.kernels.bitpack import packed_lookup
+
+                is_pos = packed_lookup(
+                    self.dense_b, users_b.reshape(-1), cand.reshape(-1)
+                ).reshape(cand.shape)
+            else:
+                is_pos = (
+                    self.dense_b[users_b.reshape(-1), cand.reshape(-1)] > 0
+                ).reshape(cand.shape)
         else:
             is_pos = jax.vmap(
                 lambda row, q: _row_contains(row, q)

@@ -1,0 +1,389 @@
+"""1-bit-packed binary matmul kernels: Y = B @ X, Y = B^T @ X, and their
+dropout-masked variants, with B stored at ONE BIT per entry.
+
+Every graph matrix in this workload is a binary interaction pattern
+(reference model.py:85-94 adjacency, model.py:386-421 feat-mat patterns), so
+B is stored bit-packed: 32 entries per uint32 word — 8x less HBM than the
+round-1 int8 engine and 16x less than bf16. At Gowalla scale one orientation
+is 161 MB; Amazon-book is 621 MB. No transpose copy is stored at all: the
+transposed product runs as a dim0-contraction over the same packed tiles
+(measured within ~7% of the forward kernel, tools/microbench_bitpack2.py).
+
+Packing layout (host, ``pack_bits``): columns are grouped in TK=4096-wide
+tiles; within a tile, bit b of word lane w holds column ``b*128 + w``:
+
+    word_index(c) = (c // 4096) * 128 + (c % 128)
+    bit_index(c)  = (c % 4096) // 128
+
+so a (TM, 128)-lane uint32 tile carries a (TM, 4096) binary tile, unpacked
+in-kernel as 32 bit-plane shifts feeding 32 MXU dots — the unpack rides the
+VPU underneath the MXU time (measured: packed 1.94 ms vs int8 1.84 ms per
+Gowalla-scale pass, while the HBM stream drops 8x; the pass is MXU-bound at
+the d=64 lane ceiling, see tools/microbench_bitpack.py).
+
+Dropout masking (reference model.py:263-275 edge dropout; masking structural
+zeros is a no-op) is ONE bitwise AND on the packed words: a 32-bit keep-word
+is built per packed word from 8 salted coordinate hashes via a BIT-SLICED
+>=threshold comparator — all 32 columns' 8-bit uniform variates are compared
+against round(p*256) simultaneously with ~30 bitwise ops. The keep decision
+is a pure function of the canonical (row, column) coordinate, so the
+backward (dim0-contraction) pass over the SAME tiles regenerates the
+bit-identical mask — no transposed random stream, no extra HBM traffic
+(p is quantized to 1/256 steps, the round-1 deviation, kept).
+
+A pure-XLA fallback (non-TPU backends and non-tile-divisible shapes)
+materializes the identical unpacked matrix and mask, so CPU unit tests are
+bit-comparable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TM = 512  # sublane tile (output rows of the forward kernel)
+TKP = 128  # packed word lanes per tile
+TK = TKP * 32  # unpacked columns per tile
+
+# multiply-xorshift mixing constants (splitmix/wyhash-style finalizer on u32)
+_C1 = np.uint32(0x9E3779B9)
+_C2 = np.uint32(0x85EBCA6B)
+_C3 = np.uint32(0xC2B2AE35)
+
+
+def pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# -- host-side packing --------------------------------------------------------
+
+
+def pack_bits(b: np.ndarray) -> np.ndarray:
+    """(M, K) 0/1 -> (M, K/32) uint32 in the bit-plane tile layout. K must be
+    a multiple of TK (pad first)."""
+    m, k = b.shape
+    assert k % TK == 0, (m, k)
+    ntiles = k // TK
+    r = b.reshape(m, ntiles, 32, TKP).astype(np.uint32)
+    words = (r << np.arange(32, dtype=np.uint32)[None, None, :, None]).sum(
+        axis=2, dtype=np.uint32
+    )
+    return np.ascontiguousarray(words.reshape(m, ntiles * TKP))
+
+
+def pack_interactions(
+    train_array: np.ndarray, n_rows: int, n_cols: int
+) -> tuple[np.ndarray, int, int]:
+    """Pack a [row, col] interaction list into the padded bit layout without
+    materializing the dense matrix. Returns (packed, rows_padded, cols_padded)."""
+    mp, kp = pad_to(n_rows, TM), pad_to(n_cols, TK)
+    packed = np.zeros((mp, kp // 32), dtype=np.uint32)
+    if len(train_array):
+        rows = train_array[:, 0].astype(np.int64)
+        cols = train_array[:, 1].astype(np.int64)
+        word = (cols // TK) * TKP + (cols % TKP)
+        bit = (cols % TK) // TKP
+        np.bitwise_or.at(packed, (rows, word), (np.uint32(1) << bit.astype(np.uint32)))
+    return packed, mp, kp
+
+
+def unpack_bits_np(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_bits (host; tests/fallback)."""
+    m, kp = packed.shape
+    ntiles = kp // TKP
+    w = packed.reshape(m, ntiles, 1, TKP)
+    bits = (w >> np.arange(32, dtype=np.uint32)[None, None, :, None]) & 1
+    return bits.reshape(m, ntiles * TK).astype(np.float32)
+
+
+def _unpack_bits_jnp(packed: jnp.ndarray) -> jnp.ndarray:
+    m, kp = packed.shape
+    ntiles = kp // TKP
+    w = packed.reshape(m, ntiles, 1, TKP)
+    bits = (w >> jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]) & jnp.uint32(1)
+    return bits.reshape(m, ntiles * TK).astype(jnp.bfloat16)
+
+
+# -- keep-mask ----------------------------------------------------------------
+
+
+def _threshold_u8(p: float) -> int:
+    """Dropout prob quantized to 1/256 steps (documented deviation: p becomes
+    round(p*256)/256)."""
+    return max(0, min(255, int(round(p * 256))))
+
+
+def _mix_hash(seed, rows, words):
+    h = (rows.astype(jnp.uint32) * _C1) ^ (words.astype(jnp.uint32) * _C2) ^ seed
+    h = (h ^ (h >> 16)) * _C3
+    return h ^ (h >> 16)
+
+
+def _salt(i: int) -> np.uint32:
+    return np.uint32((i * 0x9E3779B1 + 1) & 0xFFFFFFFF)
+
+
+def _keepword(seed, rows, words, thr: int):
+    """32-bit keep word for a (.., TKP) grid of packed words: bit b is
+    [byte(r, c) >= thr] for column c = tile_base + b*128 + lane, where
+    byte(r, c)'s 8 bits are bit-sliced across 8 salted hash grids. The
+    comparator runs on all 32 bit positions at once via bitwise ops."""
+    ge = jnp.zeros(rows.shape, dtype=jnp.uint32)
+    eq = jnp.full(rows.shape, 0xFFFFFFFF, dtype=jnp.uint32)
+    for i in range(7, -1, -1):
+        h = _mix_hash(seed + _salt(i), rows, words)
+        if (thr >> i) & 1:
+            eq = eq & h
+        else:
+            ge = ge | (eq & h)
+            eq = eq & (~h)
+    return ge | eq
+
+
+def keep_mask_dense(seed, n_rows: int, n_cols: int, p: float) -> jnp.ndarray:
+    """Unpacked (n_rows, n_cols) bool keep mask — the identical decision the
+    kernels make, materialized for the XLA fallback and oracle tests."""
+    thr = _threshold_u8(p)
+    cols = jnp.arange(n_cols, dtype=jnp.uint32)
+    words = (cols // TK) * TKP + (cols % TKP)  # (C,)
+    bit = ((cols % TK) // TKP).astype(jnp.uint32)  # (C,)
+    rows = jnp.arange(n_rows, dtype=jnp.uint32)
+    kw = _keepword(
+        jnp.uint32(seed), rows[:, None], words[None, :], thr
+    )  # (R, C) keep words (bit per column's plane)
+    return ((kw >> bit[None, :]) & jnp.uint32(1)).astype(bool)
+
+
+def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    data = jax.random.key_data(key).reshape(-1)
+    return (data[0] ^ data[-1]).astype(jnp.uint32)
+
+
+def packed_lookup(packed: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
+    """Membership test B[rows, cols] != 0 from the packed layout (used by the
+    device-side negative sampler for O(1) positive exclusion)."""
+    cols = cols.astype(jnp.uint32)
+    word = (cols // TK) * TKP + (cols % TKP)
+    bit = (cols % TK) // TKP
+    w = packed[rows, word.astype(jnp.int32)]
+    return ((w >> bit) & jnp.uint32(1)) > 0
+
+
+# -- Pallas kernels -----------------------------------------------------------
+
+
+def _make_fwd_kernel(masked: bool, thr: int):
+    import jax.experimental.pallas as pl
+
+    def kernel(seed_ref, w_ref, x_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[:]
+        if masked:
+            i = pl.program_id(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * TM
+            words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
+            w = w & _keepword(seed_ref[0], rows, words, thr)
+        acc = acc_ref[:]
+        for b in range(32):
+            bits = (
+                ((w >> np.uint32(b)) & np.uint32(1))
+                .astype(jnp.int32)
+                .astype(jnp.bfloat16)
+            )
+            acc += jnp.dot(
+                bits,
+                x_ref[pl.ds(b * TKP, TKP), :],
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+def _make_bwd_kernel(masked: bool, thr: int):
+    """out[K, d] = B^T @ ct via per-plane dim0-contractions; the mask grid is
+    in the SAME (row, word) frame as the forward kernel, so the keep decision
+    is bit-identical."""
+    import jax.experimental.pallas as pl
+
+    def kernel(seed_ref, w_ref, ct_ref, out_ref, acc_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[:]
+        if masked:
+            j = pl.program_id(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * TM
+            words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
+            w = w & _keepword(seed_ref[0], rows, words, thr)
+        ct = ct_ref[:]
+        for b in range(32):
+            bits = (
+                ((w >> np.uint32(b)) & np.uint32(1))
+                .astype(jnp.int32)
+                .astype(jnp.bfloat16)
+            )
+            acc_ref[pl.ds(b * TKP, TKP), :] += jax.lax.dot_general(
+                bits,
+                ct,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+def _fwd_pallas(wp, x, seed, p: float, masked: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, kp = wp.shape
+    k = kp * 32
+    d = x.shape[1]
+    grid = (m // TM, kp // TKP)
+    return pl.pallas_call(
+        _make_fwd_kernel(masked, _threshold_u8(p)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, TKP), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * d,
+            bytes_accessed=m * kp * 4 + k * d * 2 + m * d * 4,
+            transcendentals=0,
+        ),
+    )(seed.reshape(1), wp, x.astype(jnp.bfloat16))
+
+
+def _bwd_pallas(wp, ct, seed, p: float, masked: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, kp = wp.shape
+    k = kp * 32
+    d = ct.shape[1]
+    grid = (kp // TKP, m // TM)  # K-tiles outer, row blocks inner
+    return pl.pallas_call(
+        _make_bwd_kernel(masked, _threshold_u8(p)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, TKP), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TK, d), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TK, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * d,
+            bytes_accessed=m * kp * 4 + m * d * 2 + k * d * 4,
+            transcendentals=0,
+        ),
+    )(seed.reshape(1), wp, ct.astype(jnp.bfloat16))
+
+
+# -- XLA fallback -------------------------------------------------------------
+
+
+def _mm_xla(wp, x, seed, p: float, masked: bool, transpose: bool):
+    b = _unpack_bits_jnp(wp)
+    m, k = b.shape
+    if masked:
+        keep = keep_mask_dense(seed, m, k, p)
+        b = jnp.where(keep, b, jnp.bfloat16(0.0))
+    if transpose:
+        return jax.lax.dot_general(
+            b, x.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(b, x.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+
+def _dispatch(wp, x, seed, p, masked, transpose):
+    m, kp = wp.shape
+    if jax.default_backend() == "tpu" and m % TM == 0 and kp % TKP == 0:
+        if transpose:
+            return _bwd_pallas(wp, x, seed, p, masked)
+        return _fwd_pallas(wp, x, seed, p, masked)
+    return _mm_xla(wp, x, seed, p, masked, transpose)
+
+
+# -- public ops with custom VJPs ----------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bb_matmul(wp, x, transpose: bool = False):
+    """B @ x (or B^T @ x) with 1-bit-packed B; x grads flow through the
+    opposite-orientation kernel over the same packed tiles."""
+    return _dispatch(wp, x, jnp.uint32(0), 0.0, masked=False, transpose=transpose)
+
+
+def _bb_fwd(wp, x, transpose):
+    return bb_matmul(wp, x, transpose), (wp,)
+
+
+def _bb_bwd(transpose, res, ct):
+    (wp,) = res
+    dx = _dispatch(wp, ct, jnp.uint32(0), 0.0, masked=False,
+                   transpose=not transpose)
+    return (None, dx.astype(jnp.float32))
+
+
+bb_matmul.defvjp(_bb_fwd, _bb_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bb_matmul_dropped(wp, x, key, p: float, transpose: bool = False):
+    """(B ∘ keep-mask(key, p)) @ x (or transposed), WITHOUT the 1/(1-p)
+    rescale (callers fold the uniform scalar). The mask is coordinate-hashed,
+    so forward and backward see bit-identical drops."""
+    seed = _seed_from_key(key)
+    return _dispatch(wp, x, seed, p, masked=True, transpose=transpose)
+
+
+def _bbd_fwd(wp, x, key, p, transpose):
+    seed = _seed_from_key(key)
+    out = _dispatch(wp, x, seed, p, masked=True, transpose=transpose)
+    return out, (wp, seed)
+
+
+def _bbd_bwd(p, transpose, res, ct):
+    wp, seed = res
+    dx = _dispatch(wp, ct, seed, p, masked=True, transpose=not transpose)
+    return (None, dx.astype(jnp.float32), None)
+
+
+bb_matmul_dropped.defvjp(_bbd_fwd, _bbd_bwd)

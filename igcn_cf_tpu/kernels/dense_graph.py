@@ -1,9 +1,10 @@
 """Dense-bipartite graph engine — the MXU formulation of graph propagation.
 
 Why: on TPU, gather/segment-sum SpMM runs as a serialized per-edge loop
-(~17 cycles/edge measured; tools/microbench_spmm2.py), leaving the MXU idle.
-But every graph matrix in this workload is a BINARY interaction pattern with
-rank-1 or row-wise scaling:
+(~17 cycles/edge measured; tools/microbench_spmm2.py) and Mosaic's
+dynamic_gather is vreg-local (tools/microbench_gather.py), leaving the MXU
+idle. But every graph matrix in this workload is a BINARY interaction
+pattern with rank-1 or row-wise scaling:
 
   * sym-norm adjacency (reference model.py:85-94):
         A = D^-1/2 [[0, B], [B^T, 0]] D^-1/2
@@ -14,20 +15,15 @@ rank-1 or row-wise scaling:
     restricted to template columns + a token column, with per-row annealed
     weights w_r = rowsum^((alpha-1)/2 - 1/2). Template selection folds into
     the EMBEDDING matrix (scatter core-template rows into full user/item
-    space, zeros elsewhere), so the SAME dense B serves feat and adjacency:
+    space, zeros elsewhere), so the SAME B serves feat and adjacency:
         X0_u = w_u ∘ (B @ E_items_full + tok_u)
 
-With B stored dense int8 (plus its transpose — XLA would otherwise
-materialize one per transposed use) and converted to bf16 tile-wise inside
-the Pallas kernels (kernels/binary_matmul.py), each propagation is a dense
-MXU matmul at a fraction of the gather/scatter path's cost
-(tools/microbench_dense.py). Memory: nu*ni bytes per half — Gowalla
-1.22 GB/half; Amazon-book ~4.8 GB/half — both fit a 16 GB chip; larger
-catalogs fall back to the sparse path (see choose_backend).
-
-Edge dropout (reference model.py:263-275) = Bernoulli mask over the dense
-entries (masking structural zeros is a no-op), applied by the fused Pallas
-masked-matmul kernel (kernels/masked_matmul.py) with zero extra HBM traffic.
+Round 2: B is stored at ONE BIT per entry (kernels/bitpack.py) — 16x less
+HBM than bf16 — and NO transpose copy exists: B^T @ X runs as a
+dim0-contraction over the same packed tiles. Gowalla is 161 MB, Amazon-book
+621 MB; the former "lean" int8 mode is obsolete (kept as an accepted alias).
+Edge dropout (reference model.py:263-275) is ONE bitwise AND with a
+coordinate-hashed keep-word inside the kernels — zero extra HBM traffic.
 """
 
 from __future__ import annotations
@@ -40,11 +36,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PAD = 1024  # both dims padded to the largest kernel tile (binary_matmul TILE_K)
+from igcn_cf_tpu.kernels.bitpack import (
+    TK,
+    TM,
+    bb_matmul,
+    bb_matmul_dropped,
+    pack_interactions,
+    pad_to,
+)
 
-
-def _pad_to(n: int, m: int = PAD) -> int:
-    return -(-n // m) * m
+PAD_ROWS = TM
+PAD_COLS = TK
 
 
 def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -57,18 +59,17 @@ def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["B", "BT", "deg_u", "deg_i"],
+    data_fields=["B", "deg_u", "deg_i"],
     meta_fields=["n_users", "n_items", "lean"],
 )
 @dataclass(frozen=True)
 class BipartiteDense:
-    """Binary interaction matrix (padded to tile multiples), both
-    orientations, plus logical-size degree vectors. ``lean=True`` routes
-    plain matmuls through the Pallas kernel too (no hoisted bf16 copies —
-    for catalogs that only fit as int8)."""
+    """Bit-packed binary interaction matrix (rows padded to TM=512, columns
+    to TK=4096) plus logical-size degree vectors. ``B`` is (rows_pad,
+    cols_pad/32) uint32 in the kernels/bitpack.py layout; ``lean`` is a
+    round-1 compatibility no-op (bit packing made it obsolete)."""
 
-    B: jnp.ndarray  # (nup, nip) int8 in {0, 1}
-    BT: jnp.ndarray  # (nip, nup) int8
+    B: jnp.ndarray  # (nup, nip/32) uint32
     deg_u: jnp.ndarray  # (n_users,) f32
     deg_i: jnp.ndarray  # (n_items,) f32
     n_users: int
@@ -78,50 +79,50 @@ class BipartiteDense:
     @staticmethod
     def build(train_array: np.ndarray, n_users: int, n_items: int,
               lean: bool = False) -> "BipartiteDense":
-        nup, nip = _pad_to(n_users), _pad_to(n_items)
-        b = np.zeros((nup, nip), dtype=np.float32)
+        train_array = np.asarray(train_array)
+        packed, _, _ = pack_interactions(train_array, n_users, n_items)
+        deg_u = np.zeros(n_users, dtype=np.float32)
+        deg_i = np.zeros(n_items, dtype=np.float32)
         if len(train_array):
-            b[train_array[:, 0], train_array[:, 1]] = 1.0
-        deg_u = b.sum(axis=1)[:n_users]
-        deg_i = b.sum(axis=0)[:n_items]
+            np.add.at(deg_u, train_array[:, 0], 1.0)
+            np.add.at(deg_i, train_array[:, 1], 1.0)
         return BipartiteDense(
-            B=jnp.asarray(b.astype(np.int8)),
-            BT=jnp.asarray(b.T.astype(np.int8)),
-            deg_u=jnp.asarray(deg_u.astype(np.float32)),
-            deg_i=jnp.asarray(deg_i.astype(np.float32)),
+            B=jnp.asarray(packed),
+            deg_u=jnp.asarray(deg_u),
+            deg_i=jnp.asarray(deg_i),
             n_users=n_users,
             n_items=n_items,
             lean=lean,
         )
 
+    @property
+    def cols_padded(self) -> int:
+        return int(self.B.shape[1]) * 32
+
+    @property
+    def rows_padded(self) -> int:
+        return int(self.B.shape[0])
+
     # B @ xi -> (n_users, d)
     def mm_ui(self, xi: jnp.ndarray) -> jnp.ndarray:
-        from igcn_cf_tpu.kernels.binary_matmul import binary_matmul
-
-        xi = _pad_rows(xi, self.B.shape[1])
-        return binary_matmul(self.B, self.BT, xi, self.lean)[: self.n_users]
+        xi = _pad_rows(xi, self.cols_padded)
+        return bb_matmul(self.B, xi, False)[: self.n_users]
 
     # B^T @ xu -> (n_items, d)
     def mm_iu(self, xu: jnp.ndarray) -> jnp.ndarray:
-        from igcn_cf_tpu.kernels.binary_matmul import binary_matmul
-
-        xu = _pad_rows(xu, self.BT.shape[1])
-        return binary_matmul(self.BT, self.B, xu, self.lean)[: self.n_items]
+        xu = _pad_rows(xu, self.rows_padded)
+        return bb_matmul(self.B, xu, True)[: self.n_items]
 
     def mm_ui_dropped(self, xi, key, p: float) -> jnp.ndarray:
-        from igcn_cf_tpu.kernels.binary_matmul import binary_matmul_dropped
-
-        xi = _pad_rows(xi, self.B.shape[1])
-        return binary_matmul_dropped(self.B, self.BT, xi, key, p)[: self.n_users]
+        xi = _pad_rows(xi, self.cols_padded)
+        return bb_matmul_dropped(self.B, xi, key, p, False)[: self.n_users]
 
     def mm_iu_dropped(self, xu, key, p: float) -> jnp.ndarray:
-        from igcn_cf_tpu.kernels.binary_matmul import binary_matmul_dropped
-
-        xu = _pad_rows(xu, self.BT.shape[1])
-        return binary_matmul_dropped(self.BT, self.B, xu, key, p)[: self.n_items]
+        xu = _pad_rows(xu, self.rows_padded)
+        return bb_matmul_dropped(self.B, xu, key, p, True)[: self.n_items]
 
     def memory_bytes(self) -> int:
-        return 2 * int(self.B.shape[0]) * int(self.B.shape[1])
+        return int(self.B.shape[0]) * int(self.B.shape[1]) * 4
 
 
 def sym_norm_propagate(g: BipartiteDense, x: jnp.ndarray) -> jnp.ndarray:
@@ -207,30 +208,28 @@ def feat_aggregate(
     return jnp.concatenate([w_u[:, None] * xu, w_i[:, None] * xi], axis=0)
 
 
-# Budgets for the dense engine on a 16 GiB chip. Fast mode (XLA plain
-# matmuls) has ~3x the int8 footprint resident: XLA hoists a bf16 copy of
-# each half out of epoch scans. Lean mode keeps only the int8 halves (all
-# matmuls through the Pallas kernel, ~25% slower plain path). Gowalla
-# (2.4 GiB) and Yelp (2.6 GiB) get fast mode; Amazon-book (9.8 GiB) gets
-# lean mode; anything bigger falls back to the sparse engine.
+# Bit-packed B is rows_pad * cols_pad / 8 bytes and there is no transpose
+# copy: Gowalla 0.16 GiB, Amazon-book 0.62 GiB. The dense engine now covers
+# every catalog up to ~4 GiB packed (~34 billion user-item cells, e.g.
+# 500k x 68k); only beyond that does the sparse segment-sum path take over.
 DENSE_BUDGET_BYTES = 4 * 1024**3
-DENSE_LEAN_BUDGET_BYTES = 11 * 1024**3
+# round-1 compatibility: "dense_lean" was the int8 engine's reduced-footprint
+# mode; bit packing obsoleted it, so it now simply selects the dense engine.
+DENSE_LEAN_BUDGET_BYTES = DENSE_BUDGET_BYTES
 
 
 def dense_fits(n_users: int, n_items: int, budget: int = DENSE_BUDGET_BYTES) -> bool:
-    return 2 * _pad_to(n_users) * _pad_to(n_items) <= budget
+    return pad_to(n_users, PAD_ROWS) * pad_to(n_items, PAD_COLS) // 8 <= budget
 
 
 def choose_backend(n_users: int, n_items: int, requested: str = "auto") -> str:
-    """'dense' (fast) / 'dense_lean' / 'sparse' on TPU by memory budget; CPU
-    'auto' stays sparse (tests force dense modes explicitly)."""
+    """'dense' (bit-packed MXU engine) or 'sparse' on TPU by memory budget;
+    CPU 'auto' stays sparse (tests force dense explicitly). 'dense_lean' is
+    accepted as a round-1 alias of 'dense'."""
     if requested in ("dense", "dense_lean", "sparse"):
         return requested
     if requested != "auto":
         raise ValueError(f"unknown graph backend {requested!r}")
-    if jax.default_backend() == "tpu":
-        if dense_fits(n_users, n_items):
-            return "dense"
-        if dense_fits(n_users, n_items, DENSE_LEAN_BUDGET_BYTES):
-            return "dense_lean"
+    if jax.default_backend() == "tpu" and dense_fits(n_users, n_items):
+        return "dense"
     return "sparse"

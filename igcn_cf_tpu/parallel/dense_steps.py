@@ -1,22 +1,22 @@
 """Dense-sharded multichip INMO training step.
 
 The multi-chip version of the dense-bipartite engine (kernels/dense_graph.py):
-the binary interaction matrix is ROW-SHARDED by output block across the
-``table`` mesh axis — each device holds
+the BIT-PACKED binary interaction matrix is ROW-SHARDED by output block
+across the ``table`` mesh axis — each device holds
 
-    B_shard   (nu_pad/T, ni_pad)   — its user-row block of B
-    B_shard^T (ni_pad, nu_pad/T)   — that block's transpose (backward)
-    BT_shard  (ni_pad/T, nu_pad)   — its item-row block of B^T
-    BT_shard^T(nu_pad, ni_pad/T)
+    B_shard  (nu_pad/T, ni_pad/32) uint32 — its user-row block of B, packed
+    BT_shard (ni_pad/T, nu_pad/32) uint32 — its item-row block of B^T, packed
 
-i.e. 4/T of the full matrix per chip, so catalog capacity scales linearly
-with the pod. Each propagation layer all-gathers the (small, d-wide) dense
-operand along ``table`` and runs a shard-local MXU matmul; under AD the
-gathers transpose to reduce-scatters. The template embedding table is
-row-sharded the same way; the BPR+aux batch is sharded along ``data`` with
-pmean'd losses. Edge dropout folds the shard index into the mask seed so
-masks are independent across shards while fwd/bwd stay bit-identical within
-one (kernels/masked_matmul.py).
+i.e. 2/(8T) bytes per cell per chip, so catalog capacity scales linearly
+with the pod (round 1 stored 4 int8 orientations; bit packing + the
+dim0-contraction backward made both the transposes and the byte width
+obsolete — kernels/bitpack.py). Each propagation layer all-gathers the
+(small, d-wide) dense operand along ``table`` and runs a shard-local MXU
+matmul; under AD the gathers transpose to reduce-scatters. The template
+embedding table is row-sharded the same way; the BPR+aux batch is sharded
+along ``data`` with pmean'd losses. Edge dropout folds the shard index into
+the mask seed so masks are independent across shards while fwd/bwd stay
+bit-identical within one (coordinate-hash keep-words, kernels/bitpack.py).
 """
 
 from __future__ import annotations
@@ -32,16 +32,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from igcn_cf_tpu.core.mesh import DATA_AXIS, TABLE_AXIS
+from igcn_cf_tpu.kernels.bitpack import bb_matmul, bb_matmul_dropped, pack_bits
 
 
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
-
-
-def _shard_rows(arr: np.ndarray, n_shards: int) -> np.ndarray:
-    """(R, C) -> (n_shards, R/n_shards, C); R must divide."""
-    r, c = arr.shape
-    return arr.reshape(n_shards, r // n_shards, c)
 
 
 @dataclass
@@ -55,17 +50,12 @@ class ShardedDenseINMO:
     n_items: int
 
 
-def _mm_local(b_shard, bt_of_shard, x, key, p):
-    """Shard-local (possibly dropout-masked) binary matmul with exact custom
-    VJP through the per-shard transpose."""
-    from igcn_cf_tpu.kernels.binary_matmul import (
-        binary_matmul,
-        binary_matmul_dropped,
-    )
-
+def _mm_local(bp_shard, x, key, p):
+    """Shard-local (possibly dropout-masked) bit-packed matmul; the backward
+    runs the dim0-contraction over the same packed tiles."""
     if p > 0.0 and key is not None:
-        return binary_matmul_dropped(b_shard, bt_of_shard, x, key, p)
-    return binary_matmul(b_shard, bt_of_shard, x)
+        return bb_matmul_dropped(bp_shard, x, key, p, False)
+    return bb_matmul(bp_shard, x, False)
 
 
 def build_inmo_dense_sharded_train(
@@ -88,37 +78,31 @@ def build_inmo_dense_sharded_train(
     data_size = mesh.shape[DATA_AXIS]
     assert batch_size % data_size == 0
 
+    # pack per-shard row blocks; columns pad to the 32-bit word geometry
     nup = _pad_to(n_users, n_shards * tile)
     nip = _pad_to(n_items, n_shards * tile)
-    b = np.zeros((nup, nip), dtype=np.int8)
+    nup_w = _pad_to(nup, 4096)  # packed column space of BT
+    nip_w = _pad_to(nip, 4096)  # packed column space of B
+    b = np.zeros((max(nup, nup_w), max(nip, nip_w)), dtype=np.uint8)
     b[dataset.train_array[:, 0], dataset.train_array[:, 1]] = 1
-    deg_u = b.sum(axis=1, dtype=np.int64).astype(np.float32)
-    deg_i = b.sum(axis=0, dtype=np.int64).astype(np.float32)
+    deg_u = b.sum(axis=1, dtype=np.int64)[:nup].astype(np.float32)
+    deg_i = b.sum(axis=0, dtype=np.int64)[:nip].astype(np.float32)
 
     urows = nup // n_shards
     irows = nip // n_shards
+    b_packed = pack_bits(b[:nup, :nip_w])  # (nup, nip_w/32)
+    bt_packed = pack_bits(np.ascontiguousarray(b[:nup_w, :nip].T))  # (nip, nup_w/32)
 
     tbl2 = NamedSharding(mesh, P(TABLE_AXIS, None, None))
     tbl = NamedSharding(mesh, P(TABLE_AXIS, None))
     repl = NamedSharding(mesh, P())
-    dbatch = NamedSharding(mesh, P(DATA_AXIS))
 
     buffers = {
-        "B": jax.device_put(jnp.asarray(_shard_rows(b, n_shards)), tbl2),
-        "B_t": jax.device_put(
-            jnp.asarray(
-                np.stack([b[s * urows : (s + 1) * urows].T for s in range(n_shards)])
-            ),
-            tbl2,
+        "B": jax.device_put(
+            jnp.asarray(b_packed.reshape(n_shards, urows, -1)), tbl2
         ),
-        "BT": jax.device_put(jnp.asarray(_shard_rows(b.T, n_shards)), tbl2),
-        "BT_t": jax.device_put(
-            jnp.asarray(
-                np.stack(
-                    [b.T[s * irows : (s + 1) * irows].T for s in range(n_shards)]
-                )
-            ),
-            tbl2,
+        "BT": jax.device_put(
+            jnp.asarray(bt_packed.reshape(n_shards, irows, -1)), tbl2
         ),
         "deg_u": jax.device_put(jnp.asarray(deg_u.reshape(n_shards, urows)), tbl),
         "deg_i": jax.device_put(jnp.asarray(deg_i.reshape(n_shards, irows)), tbl),
@@ -149,11 +133,11 @@ def build_inmo_dense_sharded_train(
 
     e3 = P(TABLE_AXIS, None, None)
 
-    def f(B, B_t, BT, BT_t, deg_u, deg_i, alpha,
+    def f(B, BT, deg_u, deg_i, alpha,
           emb_u, emb_i, toks, w,
           users, pos, neg, a_users, a_pos, a_neg, key):
         # local shards arrive with a leading axis of size 1
-        B, B_t, BT, BT_t = B[0], B_t[0], BT[0], BT_t[0]
+        B, BT = B[0], BT[0]
         deg_u_l, deg_i_l = deg_u[0], deg_i[0]
         emb_u_l, emb_i_l = emb_u[0], emb_i[0]
         t = jax.lax.axis_index(TABLE_AXIS)
@@ -163,13 +147,18 @@ def build_inmo_dense_sharded_train(
         emb_u_full = jax.lax.all_gather(emb_u_l, TABLE_AXIS, axis=0, tiled=True)
         emb_i_full = jax.lax.all_gather(emb_i_l, TABLE_AXIS, axis=0, tiled=True)
 
+        def padc(x, n):  # pad the gathered operand to the packed column space
+            return jnp.concatenate(
+                [x, jnp.zeros((n - x.shape[0], x.shape[1]), x.dtype)], axis=0
+            ) if x.shape[0] < n else x
+
         # -- INMO feat aggregation, shard-local rows --------------------------
         exponent = (alpha - 1.0) / 2.0 - 0.5
         w_u = jnp.power(deg_u_l + 1.0, exponent)
         w_i = jnp.power(deg_i_l + 1.0, exponent)
         scale = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
-        xu = _mm_local(B, B_t, emb_i_full, k_feat_u, dropout)
-        xi = _mm_local(BT, BT_t, emb_u_full, k_feat_i, dropout)
+        xu = _mm_local(B, padc(emb_i_full, nip_w), k_feat_u, dropout)
+        xi = _mm_local(BT, padc(emb_u_full, nup_w), k_feat_i, dropout)
         if dropout > 0.0:
             ktu, kti = jax.random.split(k_tok)
             keep_u = jax.random.bernoulli(ktu, 1.0 - dropout, (xu.shape[0], 1))
@@ -192,8 +181,8 @@ def build_inmo_dense_sharded_train(
         for _ in range(n_layers):
             ci_full = jax.lax.all_gather(ci, TABLE_AXIS, axis=0, tiled=True)
             cu_full = jax.lax.all_gather(cu, TABLE_AXIS, axis=0, tiled=True)
-            nu_ = su_l * _mm_local(B, B_t, si_full * ci_full, None, 0.0)
-            ni_ = si_l * _mm_local(BT, BT_t, su_full * cu_full, None, 0.0)
+            nu_ = su_l * _mm_local(B, padc(si_full * ci_full, nip_w), None, 0.0)
+            ni_ = si_l * _mm_local(BT, padc(su_full * cu_full, nup_w), None, 0.0)
             cu, ci = nu_, ni_
             acc_u = acc_u + cu
             acc_i = acc_i + ci
@@ -227,7 +216,7 @@ def build_inmo_dense_sharded_train(
         f,
         mesh=mesh,
         in_specs=(
-            e3, e3, e3, e3, P(TABLE_AXIS, None), P(TABLE_AXIS, None), P(),
+            e3, e3, P(TABLE_AXIS, None), P(TABLE_AXIS, None), P(),
             e3, e3, P(), P(),
             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
             P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
@@ -240,7 +229,7 @@ def build_inmo_dense_sharded_train(
     def loss_fn(params, buffers, batch, key):
         users, pos, neg, a_users, a_pos, a_neg = batch
         return shard_f(
-            buffers["B"], buffers["B_t"], buffers["BT"], buffers["BT_t"],
+            buffers["B"], buffers["BT"],
             buffers["deg_u"], buffers["deg_i"], buffers["alpha"],
             params["emb_u"], params["emb_i"], params["toks"], params["w"],
             users, pos, neg, a_users, a_pos, a_neg, key,

@@ -1,0 +1,197 @@
+"""Sharded INMO trainer — the reference epoch loop over a multi-chip mesh.
+
+Reproduces ``BasicTrainer``'s control flow (reference trainer.py:57-107):
+per-epoch training, validation every ``val_interval`` epochs, best-NDCG
+checkpointing with old-best deletion, patience early stop, reload best at the
+end — but every train step runs the sharded INMO path (parallel/steps.py):
+row-sharded template table, edge-partitioned SpMM with table-axis
+collectives, data-parallel BPR+aux batch, device-side positive-excluding
+negative sampling with a distinct auxiliary stream, and per-epoch feat-mat
+alpha annealing (reference model.py:374-381 via ShardedINMOTrain.anneal).
+
+Validation/test run through the distributed evaluator (parallel/eval.py):
+item representations stay row-sharded, per-shard masked top-k, cross-shard
+merge.
+
+Checkpoints hold host numpy copies of the (gathered) parameters plus the
+template maps and alpha — the same inductive contract as the single-chip
+model save (reference model.py:454-466).
+
+Single-host scope: eval and checkpointing pull sharded arrays to the host
+(``np.asarray``), which requires all shards addressable — true for any
+single-process mesh (1 chip to a full host, and the virtual CPU test mesh).
+Multi-host runs (core/mesh.initialize_distributed) additionally need
+allgather-to-host plumbing for eval; the train path itself is
+process-count-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from igcn_cf_tpu.parallel.eval import sharded_evaluate
+from igcn_cf_tpu.parallel.steps import ShardedINMOTrain, build_inmo_sharded_train
+
+
+class ShardedIGCNTrainer:
+    def __init__(self, trainer_config: dict, dataset, mesh, model_config: dict):
+        self.config = dict(trainer_config)
+        self.dataset = dataset
+        self.mesh = mesh
+        self.topks = trainer_config["topks"]
+        self.n_epochs = trainer_config["n_epochs"]
+        self.max_patience = trainer_config.get("max_patience", 50)
+        self.val_interval = trainer_config.get("val_interval", 1)
+        self.test_batch_size = trainer_config.get("test_batch_size", 512)
+        self.batch_size = trainer_config.get("batch_size", 2048)
+        self.seed = trainer_config.get("seed", 2021)
+        self.epoch = 0
+        self.best_ndcg = -np.inf
+        self.save_path: Optional[str] = None
+        self.name = "ShardedIGCNTrainer"
+        self.model_name = model_config.get("name", "IGCN")
+
+        self.train_state: ShardedINMOTrain = build_inmo_sharded_train(
+            dataset,
+            mesh,
+            embedding_size=model_config["embedding_size"],
+            n_layers=model_config["n_layers"],
+            dropout=model_config["dropout"],
+            lr=trainer_config["lr"],
+            l2_reg=trainer_config.get("l2_reg", 0.0),
+            aux_reg=trainer_config.get("aux_reg", 0.0),
+            batch_size=self.batch_size,
+            seed=self.seed,
+            feature_ratio=model_config.get("feature_ratio", 1.0),
+            ranking_metric=model_config.get("ranking_metric", "sort"),
+            delta=model_config.get("delta", 0.99),
+        )
+        self._key = jax.random.PRNGKey(self.seed + 1)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- training -------------------------------------------------------------
+
+    def train_one_epoch(self) -> float:
+        ts = self.train_state
+        params, opt_state, loss = ts.epoch_fn(
+            ts.params, ts.opt_state, ts.buffers, ts.samplers, self._next_key()
+        )
+        ts.params, ts.opt_state = params, opt_state
+        loss = float(loss)
+        ts.anneal()  # reference trainer.py:319 -> model.py:379
+        return loss
+
+    # -- evaluation -----------------------------------------------------------
+
+    def _reps(self):
+        ts = self.train_state
+        rep = np.asarray(ts.rep_fn(ts.params, ts.buffers))
+        users_rep = rep[: ts.n_users]
+        items_rep = rep[ts.n_users : ts.n_users + ts.n_items]
+        return users_rep, items_rep
+
+    def eval(self, val_or_test: str, banned_items=None):
+        users_rep, items_rep = self._reps()
+        return sharded_evaluate(
+            self.mesh,
+            jnp.asarray(users_rep),
+            items_rep,
+            self.dataset,
+            val_or_test,
+            self.topks,
+            banned_items=banned_items,
+            test_batch_size=self.test_batch_size,
+        )
+
+    # -- checkpointing --------------------------------------------------------
+
+    def save(self, path: str):
+        ts = self.train_state
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, ts.params),
+            "user_map": ts.user_map,
+            "item_map": ts.item_map,
+            "alpha": float(np.asarray(ts.buffers["alpha"])),
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)
+
+    def load(self, path: str):
+        ts = self.train_state
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        emb_sharding = ts.params["embedding"].sharding
+        w_sharding = ts.params["w"].sharding
+        ts.params = {
+            "embedding": jax.device_put(
+                jnp.asarray(state["params"]["embedding"]), emb_sharding
+            ),
+            "w": jax.device_put(jnp.asarray(state["params"]["w"]), w_sharding),
+        }
+        ts.buffers = dict(ts.buffers, alpha=jnp.float32(state["alpha"]))
+
+    # -- main loop (reference trainer.py:57-107) --------------------------------
+
+    def train(self, verbose: bool = True, writer=None) -> float:
+        os.makedirs("checkpoints", exist_ok=True)
+        patience = self.max_patience
+        for self.epoch in range(self.n_epochs):
+            start = time.time()
+            loss = self.train_one_epoch()
+            if verbose:
+                print(
+                    "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
+                        self.epoch, self.n_epochs, loss, time.time() - start
+                    )
+                )
+            if writer:
+                writer.add_scalar(
+                    f"{self.model_name}_{self.name}/train_loss", loss, self.epoch
+                )
+
+            if (self.epoch + 1) % self.val_interval != 0:
+                continue
+            results, metrics = self.eval("val")
+            if verbose:
+                print("Validation result. {:s}".format(results))
+            if writer:
+                writer.record(
+                    self.model_name, self.name, "validation", metrics, self.epoch
+                )
+            ndcg = metrics["NDCG"][self.topks[0]]
+            if ndcg > self.best_ndcg:
+                if self.save_path and os.path.exists(self.save_path):
+                    os.remove(self.save_path)
+                self.save_path = os.path.join(
+                    "checkpoints",
+                    "{:s}_{:s}_{:s}_{:.3f}.pkl".format(
+                        self.model_name, self.name, self.dataset.name, ndcg * 100
+                    ),
+                )
+                self.best_ndcg = ndcg
+                self.save(self.save_path)
+                patience = self.max_patience
+                if verbose:
+                    print("Best NDCG, save model to {:s}".format(self.save_path))
+            else:
+                patience -= self.val_interval
+                if patience <= 0:
+                    if verbose:
+                        print("Early stopping!")
+                    break
+        if self.save_path:
+            self.load(self.save_path)
+        return self.best_ndcg

@@ -202,10 +202,9 @@ class BasicTrainer:
                 )
                 writer.record(self.model.name, self.name, "train", metrics, self.epoch)
 
-            if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
-                self.save_state()
-
             if (self.epoch + 1) % self.val_interval != 0:
+                if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
+                    self.save_state()
                 continue
 
             start_time = time.time()
@@ -219,8 +218,9 @@ class BasicTrainer:
                 )
 
             ndcg = metrics["NDCG"][self.topks[0]]
+            early_stop = False
             if ndcg > self.best_ndcg:
-                if self.save_path:
+                if self.save_path and os.path.exists(self.save_path):
                     os.remove(self.save_path)
                 self.save_path = os.path.join(
                     "checkpoints",
@@ -234,9 +234,14 @@ class BasicTrainer:
                 print("Best NDCG, save model to {:s}".format(self.save_path))
             else:
                 patience -= self.val_interval
-                if patience <= 0:
-                    print("Early stopping!")
-                    break
+                early_stop = patience <= 0
+            # full training state AFTER the validation/best-ckpt block, so a
+            # resumed run never references a deleted best-model path
+            if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
+                self.save_state()
+            if early_stop:
+                print("Early stopping!")
+                break
         self.params = self.model.load(self.save_path)
         self.buffers = self.model.refresh_buffers(self.buffers)
         return self.best_ndcg

@@ -93,7 +93,36 @@ def grid_search(dataset_config, model_config, trainer_config,
     return {"best_ndcg": float(max_ndcg), "best_params": best_params, "trials": trials}
 
 
-def tune_preset(dataset: str, config_index: int, data_path=None, seed: int = 2021):
+def tune_preset(dataset: str, config_index: int, data_path=None, seed: int = 2021,
+                population: str | bool = "auto", mesh=None):
+    """Tune one preset's reference grid.
+
+    ``population`` selects the search engine: ``True`` forces the batched
+    population search (tuning/population.py), ``False`` forces the
+    reference-style sequential loop, and ``"auto"`` (default) picks population
+    when the model's trainer is BPR-family and the grid has more than one
+    combination per traced-hyperparameter group — i.e. when batching trials
+    into one compiled program actually saves compilations."""
     dc, mc, tc = get_config(dataset, config_index, data_path)
     grid = GRIDS[mc["name"]]
+    if population == "auto":
+        population = _population_profitable(tc["name"], grid)
+    if population:
+        from igcn_cf_tpu.tuning.population import population_grid_search
+
+        return population_grid_search(dc, mc, tc, grid, seed=seed, mesh=mesh)
     return grid_search(dc, mc, tc, grid, seed=seed)
+
+
+def _population_profitable(trainer_name: str, grid: Dict[str, list]) -> bool:
+    """Population tuning pays off when >1 grid combos share a compiled
+    program (same non-traced keys), for trainers the population loss covers."""
+    from igcn_cf_tpu.tuning.population import TRACED_KEYS
+
+    if trainer_name not in ("BPRTrainer", "IGCNTrainer", "IDCFTrainer"):
+        return False
+    traced_combos = 1
+    for k, v in grid.items():
+        if k in TRACED_KEYS:
+            traced_combos *= len(v)
+    return traced_combos > 1

@@ -1,21 +1,29 @@
-"""Dense-bipartite backend tests: parity with the sparse path, masked-matmul
-mask semantics, and dense-mode training."""
+"""Dense-bipartite backend tests: bit-packed kernel correctness (pack /
+matmul / transpose / mask / VJP), parity with the sparse path, and dense-mode
+training."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from igcn_cf_tpu.kernels.bitpack import (
+    TK,
+    TM,
+    bb_matmul,
+    bb_matmul_dropped,
+    keep_mask_dense,
+    pack_bits,
+    pack_interactions,
+    packed_lookup,
+    unpack_bits_np,
+    _seed_from_key,
+)
 from igcn_cf_tpu.kernels.dense_graph import (
     BipartiteDense,
     feat_aggregate,
     ngcf_propagate,
     sym_norm_propagate_mean,
-)
-from igcn_cf_tpu.kernels.masked_matmul import (
-    _keep_mask,
-    _masked_mm_xla,
-    dropped_matmul,
 )
 from igcn_cf_tpu.models.base import get_model
 from igcn_cf_tpu.train.trainer import get_trainer
@@ -43,62 +51,119 @@ def test_dense_matches_sparse_rep(tiny_ds, name, extra):
     np.testing.assert_allclose(rep_d / scale, rep_s / scale, atol=2e-2)
 
 
+# -- bit-packing layout -------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip(rng):
+    b = (rng.random((16, 2 * TK)) < 0.1).astype(np.float32)
+    packed = pack_bits(b)
+    assert packed.dtype == np.uint32 and packed.shape == (16, 2 * TK // 32)
+    np.testing.assert_array_equal(unpack_bits_np(packed), b)
+
+
+def test_pack_interactions_matches_pack_bits(rng):
+    n_rows, n_cols = 100, 5000
+    arr = np.stack(
+        [rng.integers(0, n_rows, 400), rng.integers(0, n_cols, 400)], axis=1
+    )
+    packed, mp, kp = pack_interactions(arr, n_rows, n_cols)
+    assert mp % TM == 0 and kp % TK == 0
+    dense = np.zeros((mp, kp), dtype=np.float32)
+    dense[arr[:, 0], arr[:, 1]] = 1.0
+    np.testing.assert_array_equal(packed, pack_bits(dense))
+
+
+def test_packed_lookup(rng):
+    n_rows, n_cols = 60, 4500
+    arr = np.stack(
+        [rng.integers(0, n_rows, 300), rng.integers(0, n_cols, 300)], axis=1
+    )
+    packed, _, _ = pack_interactions(arr, n_rows, n_cols)
+    members = set(map(tuple, arr.tolist()))
+    q_rows = rng.integers(0, n_rows, 500)
+    q_cols = rng.integers(0, n_cols, 500)
+    got = np.asarray(
+        packed_lookup(jnp.asarray(packed), jnp.asarray(q_rows), jnp.asarray(q_cols))
+    )
+    want = np.array([(r, c) in members for r, c in zip(q_rows, q_cols)])
+    np.testing.assert_array_equal(got, want)
+
+
+# -- matmul + VJP correctness -------------------------------------------------
+
+
+def test_bb_matmul_both_orientations(rng):
+    m, k, d = 70, TK + 123, 8
+    b = (rng.random((m, k)) < 0.15).astype(np.float32)
+    bp = np.zeros((TM, 2 * TK), dtype=np.float32)
+    bp[:m, :k] = b
+    wp = jnp.asarray(pack_bits(bp))
+    x = jnp.asarray(rng.normal(size=(2 * TK, d)).astype(np.float32))
+    # bf16 rounding of x across ~600-term row dots: tolerance scales with
+    # sqrt(row nnz) * 2^-8
+    y = np.asarray(bb_matmul(wp, x, False))
+    np.testing.assert_allclose(y[:m], bp[:m] @ np.asarray(x), rtol=2e-2, atol=0.5)
+    xu = jnp.asarray(rng.normal(size=(TM, d)).astype(np.float32))
+    yt = np.asarray(bb_matmul(wp, xu, True))
+    np.testing.assert_allclose(yt, bp.T @ np.asarray(xu), rtol=2e-2, atol=0.5)
+    # VJP: d/dx sum(c * Bx) == B^T c
+    c = jnp.asarray(rng.normal(size=(TM, d)).astype(np.float32))
+    g = np.asarray(jax.grad(lambda x: jnp.sum(c * bb_matmul(wp, x, False)))(x))
+    np.testing.assert_allclose(g, bp.T @ np.asarray(c), rtol=2e-2, atol=0.5)
+
+
+def test_keep_mask_deterministic_rate():
+    m1 = np.asarray(keep_mask_dense(1234, 256, TK, 0.3))
+    m2 = np.asarray(keep_mask_dense(1234, 256, TK, 0.3))
+    np.testing.assert_array_equal(m1, m2)
+    assert abs((~m1).mean() - 0.3) < 0.02
+    m3 = np.asarray(keep_mask_dense(1235, 256, TK, 0.3))
+    assert (m1 != m3).mean() > 0.2  # different seed, different mask
+    assert np.asarray(keep_mask_dense(7, 8, TK, 0.0)).all()  # p=0 keeps all
+
+
+def test_bb_matmul_dropped_fwd_bwd_consistent(rng):
+    d, p = 8, 0.4
+    b = (rng.random((TM, TK)) < 0.2).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    x = jnp.asarray(rng.normal(size=(TK, d)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    seed = int(_seed_from_key(key))
+
+    mask = np.asarray(keep_mask_dense(seed, TM, TK, p))
+    y = np.asarray(bb_matmul_dropped(wp, x, key, p, False))
+    np.testing.assert_allclose(y, (b * mask) @ np.asarray(x), rtol=2e-2, atol=0.5)
+
+    # gradient must regenerate the SAME mask: d/dx sum(c*(B∘M)x) == (B∘M)^T c
+    c = jnp.asarray(rng.normal(size=(TM, d)).astype(np.float32))
+    grad = np.asarray(
+        jax.grad(lambda x: jnp.sum(c * bb_matmul_dropped(wp, x, key, p, False)))(x)
+    )
+    np.testing.assert_allclose(
+        grad, (b * mask).T @ np.asarray(c), rtol=5e-2, atol=0.5
+    )
+
+    # transposed orientation uses the identical canonical-coordinate mask
+    xu = jnp.asarray(rng.normal(size=(TM, d)).astype(np.float32))
+    yt = np.asarray(bb_matmul_dropped(wp, xu, key, p, True))
+    np.testing.assert_allclose(
+        yt, (b * mask).T @ np.asarray(xu), rtol=2e-2, atol=0.5
+    )
+
+
 def test_bipartite_dense_padding(tiny_ds):
     g = BipartiteDense.build(tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items)
-    assert g.B.shape[0] % 1024 == 0 and g.B.shape[1] % 1024 == 0
-    # padded rows/cols are all zero
-    assert float(jnp.sum(g.B)) == len(tiny_ds)
+    assert g.B.dtype == jnp.uint32
+    assert g.rows_padded % TM == 0 and g.cols_padded % TK == 0
+    # bit-count equals the number of interactions (padding all zero)
+    bits = unpack_bits_np(np.asarray(g.B))
+    assert bits.sum() == len(tiny_ds)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(tiny_ds.n_items, 8)).astype(np.float32))
     y = g.mm_ui(x)
     assert y.shape == (tiny_ds.n_users, 8)
 
 
-def test_keep_mask_deterministic_and_orientation_free():
-    seed = jnp.uint32(1234)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (64, 32), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (64, 32), 1)
-    m1 = np.asarray(_keep_mask(seed, rows, cols, 0.3))
-    m2 = np.asarray(_keep_mask(seed, rows, cols, 0.3))
-    assert np.array_equal(m1, m2)
-    # transposed coordinates give the transposed mask
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (32, 64), 1)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (32, 64), 0)
-    mt = np.asarray(_keep_mask(seed, rows_t, cols_t, 0.3))
-    assert np.array_equal(mt, m1.T)
-    # drop rate ~ p
-    assert abs((~m1).mean() - 0.3) < 0.05
-
-
-def test_dropped_matmul_fwd_bwd_consistent(rng):
-    m, k, d = 64, 96, 8
-    b_np = (rng.random((m, k)) < 0.2).astype(np.float32)
-    b = jnp.asarray(b_np.astype(jnp.bfloat16))
-    bt = jnp.asarray(b_np.T.astype(jnp.bfloat16))
-    x = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
-    key = jax.random.PRNGKey(7)
-
-    y = dropped_matmul(b, bt, x, key, 0.4)
-    # reproduce the mask with the public helper and compare
-    from igcn_cf_tpu.kernels.masked_matmul import _seed_from_key
-
-    seed = _seed_from_key(key)
-    want = np.asarray(_masked_mm_xla(b, x, seed, 0.4, swap=False))
-    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
-
-    # gradient must use the SAME mask: d/dx sum(c * (B∘M)x) == (B∘M)^T c
-    c = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
-    grad = jax.grad(lambda x: jnp.sum(c * dropped_matmul(b, bt, x, key, 0.4)))(x)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
-    mask = np.asarray(_keep_mask(seed, rows, cols, 0.4))
-    want_grad = (b_np * mask).T @ np.asarray(c)
-    # bf16 matmul tolerance
-    np.testing.assert_allclose(np.asarray(grad), want_grad, rtol=5e-2, atol=5e-2)
-
-
-def test_feat_aggregate_matches_sparse_with_dropout_off(tiny_ds):
-    """Already covered by test_dense_matches_sparse_rep; here check the
-    dropout path keeps expectation ~ the non-dropped output."""
+def test_feat_aggregate_dropout_expectation(tiny_ds):
     g = BipartiteDense.build(tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items)
     d = 8
     rng = np.random.default_rng(0)
@@ -120,7 +185,6 @@ def test_feat_aggregate_matches_sparse_with_dropout_off(tiny_ds):
             )
         )
     mean = np.mean(samples, axis=0)
-    # expectation preserved within sampling noise
     err = np.abs(mean - base).max() / (np.abs(base).max() + 1e-9)
     assert err < 0.25
 

@@ -133,11 +133,11 @@ def test_choose_backend_budgets(monkeypatch):
         dg.choose_backend(10, 10, "bogus")
     # auto on CPU stays sparse
     assert dg.choose_backend(100, 100, "auto") == "sparse"
-    # auto on TPU: fast under 4 GiB, lean under 11 GiB, else sparse
+    # auto on TPU: bit-packed dense under the 4 GiB packed budget, else sparse
     monkeypatch.setattr(dg.jax, "default_backend", lambda: "tpu")
-    assert dg.choose_backend(29858, 40981, "auto") == "dense"      # Gowalla
-    assert dg.choose_backend(52643, 91599, "auto") == "dense_lean" # Amazon
-    assert dg.choose_backend(300000, 300000, "auto") == "sparse"
+    assert dg.choose_backend(29858, 40981, "auto") == "dense"   # Gowalla 0.16 GiB
+    assert dg.choose_backend(52643, 91599, "auto") == "dense"   # Amazon 0.62 GiB
+    assert dg.choose_backend(1000000, 300000, "auto") == "sparse"
 
 
 def test_grid_search_end_to_end(tmp_path, monkeypatch):
