@@ -1,11 +1,19 @@
-"""Benchmark: INMO (IGCN) fused training throughput on one TPU chip.
+"""Benchmark: INMO (IGCN) fused training + retrieval-eval throughput on one
+TPU chip.
 
-Measures the roofline-critical path (SURVEY.md §3.1): per train step —
-on-device negative sampling, feat-mat aggregation (gather+segment-sum over
-~2.1M feature edges), 3-layer adjacency propagation (3 SpMMs over ~2.05M
-edges), BPR + auxiliary loss, backward, Adam — all fused in one jitted
-lax.scan, on a Gowalla-scale synthetic dataset (29,858 users x 40,981 items,
-~1.03M train interactions; the INMO paper's Gowalla split shape).
+Train metric (the headline, SURVEY.md §3.1 roofline path): per train step —
+on-device negative sampling, INMO feature aggregation over the bit-packed
+interaction matrix with edge dropout, 3-layer adjacency propagation (through
+the precomputed-P cache, kernels/pcache.py, when it fits HBM; bit-packed
+matmul recompute otherwise), BPR + auxiliary loss, backward, Adam — all fused
+in one jitted lax.scan, on a Gowalla-scale synthetic dataset (29,858 users x
+40,981 items, ~833k train interactions after the 70% split + dedupe; the INMO
+paper's Gowalla split shape).
+
+Eval metric: masked full-catalog top-k retrieval (evaluation/evaluate.py —
+cached eval representations, exclusion scatter, device top-k, vectorized
+Precision/Recall/NDCG), reported as users/s over the full user set
+(BASELINE.json "eval users/s").
 
 Baseline: the reference trains LightGCN on Gowalla in 8007.1s full retrain
 (reference run/plot.py:200-201, single CUDA GPU). At its 1000-epoch budget x
@@ -13,7 +21,8 @@ Baseline: the reference trains LightGCN on Gowalla in 8007.1s full retrain
 reference pipeline (early stopping makes the true number lower, so this is a
 conservative baseline). vs_baseline = ours / 128k.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+supplementary fields (step_ms, eval_users_per_s, engine).
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ import numpy as np
 
 BENCH_USERS = 29858
 BENCH_ITEMS = 40981
-BENCH_AVG_DEG = 34.4  # ~1.03M train interactions after the 70% split
+BENCH_AVG_DEG = 34.4  # ~1.03M raw events -> ~833k train rows after split
 BATCH_SIZE = 2048
 N_STEPS = 200
 BASELINE_EXAMPLES_PER_S = 128_000.0
@@ -68,6 +77,7 @@ def main():
         file=sys.stderr,
     )
 
+    t0 = time.time()
     model = get_model(
         {
             "name": "IGCN",
@@ -93,6 +103,11 @@ def main():
         ds,
         model,
     )
+    engine = "pcache" if getattr(model, "pcache", False) else model.backend
+    print(
+        f"# model+buffers ready in {time.time()-t0:.1f}s (engine: {engine})",
+        file=sys.stderr,
+    )
 
     # fixed-size measured epoch: N_STEPS batches per scan
     trainer.steps_per_epoch = lambda: N_STEPS
@@ -105,9 +120,23 @@ def main():
     jax.block_until_ready(trainer.params["embedding"])
     dt = time.time() - t0
     examples_per_s = N_STEPS * BATCH_SIZE / dt
+    step_ms = 1000.0 * dt / N_STEPS
     print(
-        f"# measured {N_STEPS} steps in {dt:.2f}s (loss {loss:.4f}) on "
-        f"{jax.devices()[0].platform}",
+        f"# measured {N_STEPS} steps in {dt:.2f}s ({step_ms:.2f} ms/step, "
+        f"loss {loss:.4f}) on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    # retrieval-eval throughput: full-catalog masked top-k + metrics over all
+    # users (first call compiles; second is the measurement)
+    trainer.eval("val")
+    t0 = time.time()
+    trainer.eval("val")
+    eval_dt = time.time() - t0
+    eval_users_per_s = ds.n_users / eval_dt
+    print(
+        f"# eval pass over {ds.n_users} users in {eval_dt:.2f}s "
+        f"({eval_users_per_s:,.0f} users/s)",
         file=sys.stderr,
     )
 
@@ -118,6 +147,9 @@ def main():
                 "value": round(examples_per_s, 1),
                 "unit": "interactions/s",
                 "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+                "step_ms": round(step_ms, 2),
+                "eval_users_per_s": round(eval_users_per_s, 1),
+                "engine": engine,
             }
         )
     )

@@ -45,12 +45,20 @@ from igcn_cf_tpu.kernels.dense_graph import (
     feat_aggregate,
     sym_norm_propagate_mean,
 )
+from igcn_cf_tpu.kernels.pcache import (
+    build_prop_cache,
+    gather_rows,
+    gathered_prop,
+    use_pcache,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean, spmm
 from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
 
 @MODELS.register("IGCN")
 class IGCN(Model):
+    supports_pcache = True  # propagation operator fixed across training
+
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.embedding_size = config["embedding_size"]
@@ -62,6 +70,14 @@ class IGCN(Model):
         self.alpha = 1.0
         self.backend = choose_backend(
             self.n_users, self.n_items, config.get("graph_backend", "auto")
+        )
+        self.pcache = (
+            self.supports_pcache
+            and self.backend.startswith("dense")
+            and use_pcache(
+                self.n_users, self.n_items, self.n_layers,
+                config.get("prop_cache", "auto"),
+            )
         )
         self.user_map, self.item_map = select_templates(
             dataset.train_array,
@@ -141,7 +157,7 @@ class IGCN(Model):
         rs_i = np.ones(self.n_items, dtype=np.float32)
         np.add.at(rs_u, arr[:, 0], in_i[arr[:, 1]])
         np.add.at(rs_i, arr[:, 1], in_u[arr[:, 0]])
-        return {
+        buffers = {
             "bip": bip,
             "core_user_ids": jnp.asarray(core_u),
             "core_item_ids": jnp.asarray(core_i),
@@ -151,6 +167,9 @@ class IGCN(Model):
             "feat_rowsum_i": jnp.asarray(rs_i),
             "alpha": jnp.float32(self.alpha),
         }
+        if self.pcache:
+            buffers["pcache"] = build_prop_cache(bip, self.n_layers)
+        return buffers
 
     # -- representation -----------------------------------------------------
 
@@ -214,10 +233,24 @@ class IGCN(Model):
         return propagate_mean(buffers["norm_adj"], x0, self.n_layers)
 
     def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
-        rep = self.rep(params, buffers, train=train, key=key)
-        u = rep[users]
-        p = rep[self.n_users + pos]
-        n = rep[self.n_users + neg]
+        if train and self.pcache:
+            # propagation through the cached operator: gather the 3·batch
+            # rows of P once; forward AND backward ride the same rows
+            # (kernels/pcache.py). X0 (the dropped inductive layer) is the
+            # only full-graph compute left in the step.
+            x0 = self.inductive_rep_layer(params, buffers, train=True, key=key)
+            rows = jnp.concatenate(
+                [users, self.n_users + pos, self.n_users + neg]
+            )
+            p_rows = gather_rows(buffers["pcache"], rows)
+            reps = gathered_prop(p_rows, x0)
+            b = users.shape[0]
+            u, p, n = reps[:b], reps[b : 2 * b], reps[2 * b :]
+        else:
+            rep = self.rep(params, buffers, train=train, key=key)
+            u = rep[users]
+            p = rep[self.n_users + pos]
+            n = rep[self.n_users + neg]
         # L2 on propagated reps — IGCN borrows NGCF.bpr_forward (reference
         # model.py:448-449 -> 293-299)
         l2 = l2sq(u, axis=1) + l2sq(p, axis=1) + l2sq(n, axis=1)
@@ -257,6 +290,14 @@ class IGCN(Model):
         self.backend = choose_backend(
             self.n_users, self.n_items, self.config.get("graph_backend", "auto")
         )
+        self.pcache = (
+            self.supports_pcache
+            and self.backend.startswith("dense")
+            and use_pcache(
+                self.n_users, self.n_items, self.n_layers,
+                self.config.get("prop_cache", "auto"),
+            )
+        )
         self._jit_cache.clear()
         return self.init_buffers()
 
@@ -284,7 +325,9 @@ class IGCN(Model):
 @MODELS.register("IMF")
 class IMF(IGCN):
     """INMO-MF: representation is the inductive layer only, no propagation
-    (reference model.py:536-543)."""
+    (reference model.py:536-543) — so there is no operator to cache."""
+
+    supports_pcache = False
 
     def rep(self, params, buffers, *, train, key):
         return self.inductive_rep_layer(params, buffers, train=train, key=key)

@@ -22,6 +22,12 @@ from igcn_cf_tpu.kernels.dense_graph import (
     choose_backend,
     sym_norm_propagate_mean,
 )
+from igcn_cf_tpu.kernels.pcache import (
+    build_prop_cache,
+    gather_rows,
+    gathered_prop,
+    use_pcache,
+)
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean
 from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
@@ -35,6 +41,13 @@ class LightGCN(Model):
         self.backend = choose_backend(
             self.n_users, self.n_items, config.get("graph_backend", "auto")
         )
+        # LightGCN has no dropout at all (reference model.py:95-106), so the
+        # whole propagated representation of a train batch is a cached-P row
+        # gather times the embedding table (kernels/pcache.py).
+        self.pcache = self.backend.startswith("dense") and use_pcache(
+            self.n_users, self.n_items, self.n_layers,
+            config.get("prop_cache", "auto"),
+        )
 
     def init_params(self, key):
         return {
@@ -45,12 +58,14 @@ class LightGCN(Model):
 
     def init_buffers(self):
         if self.backend.startswith("dense"):
-            return {
-                "bip": BipartiteDense.build(
-                    self.dataset.train_array, self.n_users, self.n_items,
-                    lean=self.backend == "dense_lean",
-                )
-            }
+            bip = BipartiteDense.build(
+                self.dataset.train_array, self.n_users, self.n_items,
+                lean=self.backend == "dense_lean",
+            )
+            buffers = {"bip": bip}
+            if self.pcache:
+                buffers["pcache"] = build_prop_cache(bip, self.n_layers)
+            return buffers
         coo = sym_norm_adjacency(
             self.dataset.train_array, self.n_users, self.n_items
         )
@@ -64,15 +79,25 @@ class LightGCN(Model):
         return propagate_mean(buffers["norm_adj"], params["embedding"], self.n_layers)
 
     def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
-        rep = self.rep(params, buffers, train=train, key=key)
         emb = params["embedding"]
+        if train and self.pcache:
+            rows = jnp.concatenate([users, self.n_users + pos, self.n_users + neg])
+            p_rows = gather_rows(buffers["pcache"], rows)
+            reps = gathered_prop(p_rows, emb)
+            b = users.shape[0]
+            u, p, n = reps[:b], reps[b : 2 * b], reps[2 * b :]
+        else:
+            rep = self.rep(params, buffers, train=train, key=key)
+            u = rep[users]
+            p = rep[self.n_users + pos]
+            n = rep[self.n_users + neg]
         # L2 on ego embeddings, scores on propagated reps (model.py:108-116)
         l2 = (
             l2sq(emb[users], axis=1)
             + l2sq(emb[self.n_users + pos], axis=1)
             + l2sq(emb[self.n_users + neg], axis=1)
         )
-        return rep[users], rep[self.n_users + pos], rep[self.n_users + neg], l2
+        return u, p, n, l2
 
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
@@ -84,6 +109,10 @@ class LightGCN(Model):
             new_dataset.n_users,
             new_dataset.n_items,
             self.config.get("graph_backend", "auto"),
+        )
+        self.pcache = self.backend.startswith("dense") and use_pcache(
+            new_dataset.n_users, new_dataset.n_items, self.n_layers,
+            self.config.get("prop_cache", "auto"),
         )
         return super().rebuild_for(new_dataset)
 

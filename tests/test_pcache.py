@@ -1,0 +1,166 @@
+"""Propagation-cache tests: the precomputed P = mean_k A^k operator
+(kernels/pcache.py) against the dense NumPy oracle, the gathered-row
+forward/backward contraction, and train-path parity of IGCN/LightGCN with the
+cache on vs the exact bit-packed recompute path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+from igcn_cf_tpu.kernels.pcache import (
+    build_prop_cache,
+    gather_rows,
+    gathered_prop,
+    pcache_fits,
+    prop_cache_oracle,
+    use_pcache,
+)
+from igcn_cf_tpu.models.base import get_model
+
+# bf16 storage: ~2^-8 relative per entry; P entries are in [0, 1]
+BF16_ATOL = 8e-3
+
+
+def _bip(ds):
+    return BipartiteDense.build(ds.train_array, ds.n_users, ds.n_items)
+
+
+def test_build_matches_oracle(tiny_ds):
+    n = tiny_ds.n_users + tiny_ds.n_items
+    for k in (1, 3):
+        p = np.asarray(
+            build_prop_cache(_bip(tiny_ds), k), dtype=np.float32
+        )
+        oracle = prop_cache_oracle(
+            tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items, k
+        )
+        assert p.shape[0] == n and p.shape[1] >= n
+        np.testing.assert_allclose(p[:, :n], oracle, atol=BF16_ATOL)
+        # padding columns must be exactly zero
+        assert not p[:, n:].any()
+        # P is symmetric (A is): stored rows double as columns in backward
+        np.testing.assert_allclose(p[:, :n], p[:, :n].T, atol=BF16_ATOL)
+
+
+def test_gathered_prop_forward_and_grad(tiny_ds):
+    n = tiny_ds.n_users + tiny_ds.n_items
+    p = build_prop_cache(_bip(tiny_ds), 2)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (n, 8), jnp.float32)
+    rows = jnp.asarray([0, 5, tiny_ds.n_users + 3, n - 1], jnp.int32)
+    p_rows = gather_rows(p, rows)
+
+    out = gathered_prop(p_rows, x0)
+    oracle = prop_cache_oracle(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items, 2
+    )
+    want = oracle[np.asarray(rows)] @ np.asarray(x0)
+    np.testing.assert_allclose(np.asarray(out), want, atol=0.05, rtol=0.05)
+
+    # backward: d/dx0 sum(P[rows] @ x0 * c) == P[rows]^T @ c, via the same
+    # bf16 rows — compare against the explicit contraction
+    c = jax.random.normal(jax.random.PRNGKey(1), out.shape, jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(gathered_prop(p_rows, x) * c))(x0)
+    # the backward casts the cotangent to bf16 before the contraction
+    want_g = np.asarray(p_rows, np.float32)[:, :n].T @ np.asarray(c)
+    np.testing.assert_allclose(np.asarray(g), want_g, atol=3e-3, rtol=3e-2)
+
+
+def _pieces(name, ds, prop_cache, extra, drop_key=None):
+    cfg = {
+        "name": name,
+        "embedding_size": 16,
+        "n_layers": 2,
+        "graph_backend": "dense",
+        "prop_cache": prop_cache,
+        **extra,
+    }
+    model = get_model(cfg, ds)
+    assert model.pcache is bool(prop_cache)
+    params = model.init_params(jax.random.PRNGKey(3))
+    buffers = model.init_buffers()
+    users = jnp.asarray([1, 4, 9], jnp.int32)
+    pos = jnp.asarray([0, 2, 7], jnp.int32)
+    neg = jnp.asarray([5, 5, 1], jnp.int32)
+
+    def loss(p):
+        u, pp, nn, l2 = model.bpr_pieces(
+            p, buffers, users, pos, neg, train=True, key=drop_key
+        )
+        return (
+            jnp.sum(u * pp) - jnp.sum(u * nn) + 0.1 * jnp.sum(l2)
+        )
+
+    val, grads = jax.value_and_grad(loss)(params)
+    return np.asarray(val), jax.tree_util.tree_map(np.asarray, grads)
+
+
+@pytest.mark.parametrize(
+    "name,extra",
+    [
+        ("LightGCN", {}),
+        ("IGCN", {"dropout": 0.0, "feature_ratio": 1.0}),
+        ("IGCN", {"dropout": 0.0, "feature_ratio": 0.7}),
+    ],
+)
+def test_train_path_parity(tiny_ds, name, extra):
+    """Loss and gradients through the cached operator match the exact
+    recompute path to bf16-storage tolerance."""
+    v_exact, g_exact = _pieces(name, tiny_ds, False, extra)
+    v_cache, g_cache = _pieces(name, tiny_ds, True, extra)
+    np.testing.assert_allclose(v_cache, v_exact, rtol=2e-2, atol=2e-2)
+
+    def check(a, b):
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
+
+    jax.tree_util.tree_map(check, g_exact, g_cache)
+
+
+def test_igcn_pcache_with_dropout_runs(tiny_ds):
+    """Dropout applies to the feat layer only; the cached path must accept a
+    dropout key and stay finite."""
+    v, g = _pieces(
+        "IGCN",
+        tiny_ds,
+        True,
+        {"dropout": 0.3, "feature_ratio": 1.0},
+        drop_key=jax.random.PRNGKey(11),
+    )
+    assert np.isfinite(v)
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_eval_path_ignores_cache(tiny_ds):
+    """rep(train=False) never reads the cache — metrics see the exact
+    operator (kernels/pcache.py docstring contract)."""
+    cfg = {
+        "name": "LightGCN",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "graph_backend": "dense",
+        "prop_cache": True,
+    }
+    model = get_model(cfg, tiny_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    buffers = model.init_buffers()
+    rep_with = model.rep(params, buffers, train=False, key=None)
+    del buffers["pcache"]
+    rep_without = model.rep(params, buffers, train=False, key=None)
+    np.testing.assert_array_equal(np.asarray(rep_with), np.asarray(rep_without))
+
+
+def test_gating():
+    # CPU backend: auto stays off; True forces on (n_layers >= 1)
+    assert not use_pcache(100, 100, 3, "auto")
+    assert use_pcache(100, 100, 3, True)
+    assert not use_pcache(100, 100, 0, True)
+    assert not use_pcache(100, 100, 3, False)
+    with pytest.raises(ValueError):
+        use_pcache(100, 100, 3, "always")
+    # capacity: Gowalla/Yelp fit an 11 GiB budget, Amazon-book does not
+    assert pcache_fits(29858, 40981)
+    assert pcache_fits(31668, 38048)
+    assert not pcache_fits(78578, 77801)
