@@ -21,7 +21,8 @@ pattern with rank-1 or row-wise scaling:
 Round 2: B is stored at ONE BIT per entry (kernels/bitpack.py) — 16x less
 HBM than bf16 — and NO transpose copy exists: B^T @ X runs as a
 dim0-contraction over the same packed tiles. Gowalla is 161 MB, Amazon-book
-621 MB; the former "lean" int8 mode is obsolete (kept as an accepted alias).
+621 MB; the former int8 "lean" mode is obsolete ("dense_lean" is accepted
+and normalized to "dense").
 Edge dropout (reference model.py:263-275) is ONE bitwise AND with a
 coordinate-hashed keep-word inside the kernels — zero extra HBM traffic.
 """
@@ -60,25 +61,23 @@ def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["B", "deg_u", "deg_i"],
-    meta_fields=["n_users", "n_items", "lean"],
+    meta_fields=["n_users", "n_items"],
 )
 @dataclass(frozen=True)
 class BipartiteDense:
     """Bit-packed binary interaction matrix (rows padded to TM=512, columns
     to TK=4096) plus logical-size degree vectors. ``B`` is (rows_pad,
-    cols_pad/32) uint32 in the kernels/bitpack.py layout; ``lean`` is a
-    round-1 compatibility no-op (bit packing made it obsolete)."""
+    cols_pad/32) uint32 in the kernels/bitpack.py layout."""
 
     B: jnp.ndarray  # (nup, nip/32) uint32
     deg_u: jnp.ndarray  # (n_users,) f32
     deg_i: jnp.ndarray  # (n_items,) f32
     n_users: int
     n_items: int
-    lean: bool = False
 
     @staticmethod
-    def build(train_array: np.ndarray, n_users: int, n_items: int,
-              lean: bool = False) -> "BipartiteDense":
+    def build(train_array: np.ndarray, n_users: int,
+              n_items: int) -> "BipartiteDense":
         train_array = np.asarray(train_array)
         packed, _, _ = pack_interactions(train_array, n_users, n_items)
         deg_u = np.zeros(n_users, dtype=np.float32)
@@ -92,7 +91,6 @@ class BipartiteDense:
             deg_i=jnp.asarray(deg_i),
             n_users=n_users,
             n_items=n_items,
-            lean=lean,
         )
 
     @property
@@ -213,9 +211,6 @@ def feat_aggregate(
 # every catalog up to ~4 GiB packed (~34 billion user-item cells, e.g.
 # 500k x 68k); only beyond that does the sparse segment-sum path take over.
 DENSE_BUDGET_BYTES = 4 * 1024**3
-# round-1 compatibility: "dense_lean" was the int8 engine's reduced-footprint
-# mode; bit packing obsoleted it, so it now simply selects the dense engine.
-DENSE_LEAN_BUDGET_BYTES = DENSE_BUDGET_BYTES
 
 
 def dense_fits(n_users: int, n_items: int, budget: int = DENSE_BUDGET_BYTES) -> bool:
@@ -225,8 +220,10 @@ def dense_fits(n_users: int, n_items: int, budget: int = DENSE_BUDGET_BYTES) -> 
 def choose_backend(n_users: int, n_items: int, requested: str = "auto") -> str:
     """'dense' (bit-packed MXU engine) or 'sparse' on TPU by memory budget;
     CPU 'auto' stays sparse (tests force dense explicitly). 'dense_lean' is
-    accepted as a round-1 alias of 'dense'."""
-    if requested in ("dense", "dense_lean", "sparse"):
+    accepted as a round-1 alias and normalized to 'dense'."""
+    if requested == "dense_lean":
+        return "dense"
+    if requested in ("dense", "sparse"):
         return requested
     if requested != "auto":
         raise ValueError(f"unknown graph backend {requested!r}")

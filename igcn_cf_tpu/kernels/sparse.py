@@ -8,10 +8,12 @@ device memory; propagation is
     Y[r] = sum_{k: rows[k]=r} vals[k] * X[cols[k]]
 
 implemented as gather → scale → ``jax.ops.segment_sum`` (sorted segments).
-XLA fuses the gather+scale and lowers the sorted segment-sum to an efficient
-scatter-add; the Pallas blocked kernel in ``spmm_pallas.py`` is a drop-in for
-the largest graphs. Autodiff gives the transpose SpMM for the backward pass
-for free.
+XLA fuses the gather+scale and lowers the sorted segment-sum to a
+scatter-add. Autodiff gives the transpose SpMM for the backward pass for
+free. On TPU this path only serves catalogs too large for the bit-packed
+dense engine (``kernels/bitpack.py``, >~4 GiB packed, i.e. >~34e9 user-item
+cells — far beyond any dataset the reference targets); everywhere else
+``choose_backend`` routes to the dense engine, which runs on the MXU.
 
 Edge dropout keeps the reference's semantics — drop entries with prob p and
 scale survivors by 1/(1-p) (reference model.py:263-275) — as a value mask,

@@ -23,6 +23,7 @@ key so evaluation is deterministic."""
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import jax
@@ -65,9 +66,51 @@ class IDCF_LGCN(Model):
         }
 
     def _load_frozen_embedding(self) -> jnp.ndarray:
+        if not os.path.exists(self.lgcn_path):
+            self._pretrain_lgcn()
         with open(self.lgcn_path, "rb") as f:
             blob = pickle.load(f)
         return jnp.asarray(blob["params"]["embedding"])
+
+    def _pretrain_lgcn(self) -> None:
+        """The reference assumes a pretrained LightGCN table exists at
+        ``lgcn_path`` (reference config.py:59, model.py:152-155) and crashes
+        otherwise. Here a missing checkpoint auto-trains one on the current
+        dataset (BPR, early-stopped), so ``run --config 8`` works on a clean
+        checkout. Override the budget with ``lgcn_pretrain_epochs`` /
+        ``lgcn_pretrain_patience``."""
+        import sys
+
+        from igcn_cf_tpu.models.base import get_model
+        from igcn_cf_tpu.train.trainer import get_trainer
+
+        print(
+            f"[idcf] no LightGCN checkpoint at {self.lgcn_path!r}; "
+            "pretraining one (reference expects run --config 1 output)",
+            file=sys.stderr,
+            flush=True,
+        )
+        mc = {
+            "name": "LightGCN",
+            "embedding_size": self.embedding_size,
+            "n_layers": self.n_layers,
+        }
+        tc = {
+            "name": "BPRTrainer",
+            "optimizer": "Adam",
+            "lr": 1e-3,
+            "l2_reg": 1e-4,
+            "n_epochs": int(self.config.get("lgcn_pretrain_epochs", 200)),
+            "batch_size": int(self.config.get("batch_size", 2048)),
+            "test_batch_size": 512,
+            "topks": [20],
+            "val_interval": int(self.config.get("lgcn_pretrain_val_interval", 10)),
+            "max_patience": int(self.config.get("lgcn_pretrain_patience", 5)),
+        }
+        lgcn = get_model(mc, self.dataset)
+        trainer = get_trainer(tc, self.dataset, lgcn)
+        trainer.train(verbose=False)
+        lgcn.save(self.lgcn_path, trainer.params)
 
     def init_buffers(self):
         adj = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)

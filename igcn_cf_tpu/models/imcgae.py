@@ -46,7 +46,6 @@ class IMCGAE(Model):
             return {
                 "bip": BipartiteDense.build(
                     self.dataset.train_array, self.n_users, self.n_items,
-                    lean=self.backend == "dense_lean",
                 )
             }
         coo = sym_norm_adjacency(self.dataset.train_array, self.n_users, self.n_items)

@@ -139,7 +139,7 @@ class IGCN(Model):
         adjacency and the feat matrix; template selection becomes zero-padded
         embedding scatter (kernels/dense_graph.py docstring)."""
         arr = self.dataset.train_array
-        bip = BipartiteDense.build(arr, self.n_users, self.n_items, lean=self.backend == "dense_lean")
+        bip = BipartiteDense.build(arr, self.n_users, self.n_items)
         # template membership + scatter indices, ordered by template index
         core_u = np.array(
             sorted(self.user_map, key=self.user_map.get), dtype=np.int32

@@ -60,7 +60,6 @@ class LightGCN(Model):
         if self.backend.startswith("dense"):
             bip = BipartiteDense.build(
                 self.dataset.train_array, self.n_users, self.n_items,
-                lean=self.backend == "dense_lean",
             )
             buffers = {"bip": bip}
             if self.pcache:

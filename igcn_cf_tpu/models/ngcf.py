@@ -62,7 +62,6 @@ class NGCF(Model):
             return {
                 "bip": BipartiteDense.build(
                     self.dataset.train_array, self.n_users, self.n_items,
-                    lean=self.backend == "dense_lean",
                 )
             }
         coo = l1_norm_adjacency_with_self_loops(

@@ -128,7 +128,7 @@ def test_choose_backend_budgets(monkeypatch):
     # explicit requests pass through
     assert dg.choose_backend(10, 10, "sparse") == "sparse"
     assert dg.choose_backend(10, 10, "dense") == "dense"
-    assert dg.choose_backend(10, 10, "dense_lean") == "dense_lean"
+    assert dg.choose_backend(10, 10, "dense_lean") == "dense"
     with pytest.raises(ValueError):
         dg.choose_backend(10, 10, "bogus")
     # auto on CPU stays sparse

@@ -1,6 +1,8 @@
 """End-to-end training smoke tests: each trainer learns on a tiny synthetic
 dataset and beats the popularity floor where it should."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -185,6 +187,35 @@ def test_idcf_end_to_end(tmp_path):
     cfg = dict(BPR_CFG, name="IDCFTrainer", contrastive_reg=1e-3, l2_reg=1e-4)
     trainer, best = _train(ds, model_cfg, cfg, n_epochs=3)
     assert np.isfinite(best) and best > 0.0
+
+
+def test_idcf_from_scratch_autopretrains(tmp_path):
+    """A missing lgcn_path must auto-train the frozen table instead of
+    crashing (the reference requires a manual pretraining run first,
+    reference config.py:59)."""
+    ds = _ds()
+    lgcn_path = str(tmp_path / "auto_lgcn.pkl")
+    model_cfg = {
+        "name": "IDCF_LGCN",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "n_headers": 2,
+        "n_samples": 10,
+        "lgcn_path": lgcn_path,
+        "lgcn_pretrain_epochs": 2,
+        "lgcn_pretrain_val_interval": 1,
+        "batch_size": 128,
+    }
+    cfg = dict(BPR_CFG, name="IDCFTrainer", contrastive_reg=1e-3, l2_reg=1e-4)
+    trainer, best = _train(ds, model_cfg, cfg, n_epochs=2)
+    assert os.path.exists(lgcn_path)
+    assert np.isfinite(best) and best > 0.0
+    # the frozen table matches the auto-pretrained checkpoint
+    import pickle
+
+    with open(lgcn_path, "rb") as f:
+        blob = pickle.load(f)
+    assert blob["params"]["embedding"].shape == (ds.n_users + ds.n_items, 16)
 
 
 def test_itemknn_eval():
