@@ -1,13 +1,14 @@
 """Propagation cache — precomputed ``P = mean_{k=0..K} A^k`` for models whose
-propagation operator is FIXED across training.
+propagation operator is FIXED across training, with a fused Pallas
+gather+matmul train-step kernel.
 
-Why this exists (the round-2 perf unlock): the reference recomputes full-graph
-K-layer propagation for every 2048-interaction batch (reference
-model.py:434-446 for IGCN, model.py:95-106 for LightGCN) and only then gathers
-the ~6k batch rows. On TPU the per-batch propagation is 12-16 bit-packed
-matmul halves whose output width is the embedding dim d=64 — half the 128-wide
-MXU idles, so the dense recompute formulation is compute-bound ABOVE the
-baseline step time no matter how good the kernel is.
+Why this exists (the round-2/3 perf unlock): the reference recomputes
+full-graph K-layer propagation for every 2048-interaction batch (reference
+model.py:434-446 for IGCN, model.py:95-106 for LightGCN) and only then
+gathers the ~6k batch rows. On TPU the per-batch propagation is 12-16
+bit-packed matmul passes whose output width is the embedding dim d=64 — half
+the 128-wide MXU idles, so the dense recompute formulation is compute-bound
+above the baseline step time no matter how good the kernel is.
 
 But for IGCN the per-batch edge dropout applies ONLY to the feature matrix
 (reference model.py:435); the K-layer propagation runs over the fixed
@@ -18,30 +19,54 @@ at all. So the linear operator
     P = (A^0 + A^1 + ... + A^K) / (K + 1),      A = D^-1/2 [[0,B],[B^T,0]] D^-1/2
 
 is constant for the entire training run. We precompute P ONCE (column-blocked
-through the bit-packed engine at full MXU width — seconds, not minutes), store
-it in HBM as bfloat16, and each train step only:
+through the bit-packed engine — seconds, not minutes), store it in HBM as
+bfloat16, and each train step only computes
 
     rows  = [users, n_users+pos, n_users+neg]          (3·batch ids)
-    P_b   = P[rows]                                     (one row gather)
-    reps  = P_b @ X0                                    (forward)
-    dX0   = P_b^T @ d(reps)                             (backward)
+    reps  = P[rows] @ X0                                (forward)
+    dX0   = P[rows]^T @ d(reps)                         (backward)
 
-A is symmetric, so P is symmetric and the SAME gathered rows serve forward and
-backward — the step's propagation cost drops from O(passes · n^2 · d) MXU time
-to O(batch · n) HBM gather traffic, an order of magnitude on Gowalla.
+A is symmetric, so P is symmetric and the SAME rows serve forward and
+backward.
+
+The fused kernels (round 3): XLA executes gather-then-dot as materialize
+``P[rows]`` (871 MB at Gowalla scale) + re-read it in the dot — measured
+~39.5 ms/step against a ~2.2 ms two-pass roofline (round-2 VERDICT). The
+Pallas kernels below never materialize the gathered block: each grid step
+DMAs TR row slabs from P in HBM straight into a double-buffered VMEM scratch
+and feeds the MXU. To make a row slab a SINGLE contiguous DMA (Mosaic cannot
+slice one row of a (8,128)-tiled 2D memref), P is stored 4-D:
+
+    P4[n, NJ, npad/NJ/128, 128],  row r / column c  ->  P4[r, j, w, l]
+    with c = j * (npad/NJ) + w * 128 + l
+
+i.e. a plain reshape of the logical (n, npad) matrix; each (row, j) pair is
+one contiguous (npad/NJ/128, 128) slab. Forward: grid (R/TR, NJ), each step
+DMAs TR slabs (double-buffered against the previous step's matmuls),
+contracts them with the matching X0 column block, accumulates over j in a
+VMEM scratch. Backward runs the same stream with the contraction on dim 0
+(P symmetric => gathered rows double as the needed columns), accumulating
+``dX0`` column blocks across the inner grid axis.
 
 Numerics: P is stored in bfloat16 (relative error <= 2^-9 per entry; the
 training matmuls already run their inputs in bfloat16). The backward uses the
 same bf16 P, so gradients are exact FOR the forward actually computed.
 EVALUATION keeps the exact bit-packed propagate path — metrics never see the
-cached operator. Capacity: P is (n, n_pad) bf16 = ~10 GB at Gowalla/Yelp scale
-(fits v5e HBM next to everything else); catalogs beyond ``PCACHE_BUDGET_BYTES``
-(e.g. Amazon-book, 156k nodes -> 49 GB) automatically stay on the bit-packed
-recompute engine.
+cached operator. End-to-end metric parity vs the exact engine is asserted in
+tests/test_pcache.py (train-path parity) and measured in bench.py's engine
+A/B.
+
+Engine selection is MEASURED, not assumed (the round-2 lesson: the unmeasured
+pcache default shipped as a 29% regression). ``use_pcache`` gates statically
+on capacity; on TPU with 'auto', the model init then times the cached step
+piece against the recompute step piece (``ab_select``) and keeps the cache
+only if it wins, memoizing the verdict on disk per shape.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from functools import partial
 
 import jax
@@ -50,20 +75,33 @@ import numpy as np
 
 from igcn_cf_tpu.kernels.dense_graph import BipartiteDense, sym_norm_propagate
 
-# P plus the per-step gathered row block (+ slack for params/opt/eval reps)
+# P plus the per-step transient DMA traffic (+ slack for params/opt/eval reps)
 # must fit beside the bit-packed B in 16 GB of v5e HBM.
 PCACHE_BUDGET_BYTES = 11 * 1024**3
 
-# Column-block width for the build: one full MXU lane width. Wider blocks hit
-# the 16 MB scoped-VMEM limit in the transpose kernel (its out/acc blocks are
-# (TK=4096, width) f32).
+# Column-block width for the build: one MXU lane width. Wider blocks hit the
+# 16 MB scoped-VMEM limit in the bit-packed transpose kernel (its out/acc
+# blocks are (TK=4096, width) f32).
 BUILD_BLOCK = 128
+
+# Fused-kernel geometry: TR gathered rows per grid step, NJ column slabs.
+# VMEM at Gowalla scale (npad=73728, NJ=4): row slab double-buffer
+# 2*TR*(npad/NJ)*2B = 9.4 MB + X0 column block (npad/NJ, d) bf16 = 2.4 MB.
+GATHER_TR = 128
+GATHER_NJ = 4
+# npad alignment: each per-row DMA slab is (1, 1, sub, 128) of a (8,128)-tiled
+# HBM memref, so sub = npad/NJ/128 must be a multiple of 8 (Mosaic: "slice
+# shape along dimension 2 must be aligned to tiling (8)").
+_ALIGN = GATHER_NJ * 128 * 8
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def pcache_bytes(n_users: int, n_items: int) -> int:
     n = n_users + n_items
-    n_pad = -(-n // BUILD_BLOCK) * BUILD_BLOCK
-    return n * n_pad * 2
+    return n * _pad_to(n, _ALIGN) * 2
 
 
 def pcache_fits(n_users: int, n_items: int,
@@ -73,11 +111,22 @@ def pcache_fits(n_users: int, n_items: int,
 
 def use_pcache(n_users: int, n_items: int, n_layers: int,
                requested="auto") -> bool:
-    """Decide whether a fixed-propagation model should train through the
-    cache. 'auto' = TPU with the cache in budget; True forces it (tests build
-    tiny caches on CPU through the XLA fallback); False disables."""
+    """Static (capacity) gate for training through the cache. 'auto' = TPU
+    with the cache in budget — the model init then confirms with a measured
+    A/B (``ab_select``); True forces it (tests build tiny caches on CPU
+    through the XLA fallback; on an accelerator an over-budget force raises
+    instead of OOMing mid-build); False disables."""
     if requested is True:
-        return n_layers >= 1
+        if n_layers < 1:
+            return False
+        if jax.default_backend() != "cpu" and not pcache_fits(n_users, n_items):
+            raise ValueError(
+                f"prop_cache=True but P would be "
+                f"{pcache_bytes(n_users, n_items) / 2**30:.1f} GiB "
+                f"(budget {PCACHE_BUDGET_BYTES / 2**30:.1f} GiB) — too large "
+                f"for device HBM; use prop_cache='auto' or False"
+            )
+        return True
     if requested is not False and requested != "auto":
         raise ValueError(f"unknown prop_cache setting {requested!r}")
     return (
@@ -88,20 +137,25 @@ def use_pcache(n_users: int, n_items: int, n_layers: int,
     )
 
 
+# -- build ---------------------------------------------------------------------
+
+
 def build_prop_cache(g: BipartiteDense, n_layers: int,
                      block: int = BUILD_BLOCK) -> jnp.ndarray:
-    """P = mean_{k=0..K} A^k as an (n, n_pad) bfloat16 array, built one
-    column block at a time: x = I[:, c0:c0+W] one-hot, K sym-norm propagate
-    passes through the bit-packed engine (RHS width W=512 -> full-width MXU,
-    unlike the d=64 training passes), accumulated in f32, written bf16 via a
-    donated dynamic_update_slice (in place; the 10 GB buffer is never
-    copied)."""
+    """P = mean_{k=0..K} A^k as an (n, NJ, npad/NJ/128, 128) bfloat16 array
+    (the fused-kernel slab layout; reshape to (n, npad) recovers the logical
+    matrix). Built one 128-wide column block at a time: x = I[:, c0:c0+128]
+    one-hot, K sym-norm propagate passes through the bit-packed engine,
+    accumulated in f32, written bf16 via a donated dynamic_update_slice (in
+    place; the multi-GB buffer is never copied)."""
     n = g.n_users + g.n_items
-    n_pad = -(-n // block) * block  # update-slice blocks must tile exactly
+    npad = _pad_to(n, _ALIGN)
+    assert npad % (GATHER_NJ * 128) == 0 and block == 128
+    sub = npad // GATHER_NJ // 128
     inv = 1.0 / float(n_layers + 1)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def fill(p, bip, c0):
+    def fill(p4, bip, c0):
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1) + c0
         x = (rows == cols).astype(jnp.float32)
@@ -109,25 +163,211 @@ def build_prop_cache(g: BipartiteDense, n_layers: int,
         for _ in range(n_layers):
             x = sym_norm_propagate(bip, x)
             acc = acc + x * inv
+        # column block c0 lands at slab j = c0 // (npad/NJ), word
+        # w = (c0 % (npad/NJ)) // 128
+        j = c0 // (npad // GATHER_NJ)
+        w = (c0 % (npad // GATHER_NJ)) // 128
         return jax.lax.dynamic_update_slice(
-            p, acc.astype(jnp.bfloat16), (0, c0)
+            p4, acc.astype(jnp.bfloat16).reshape(n, 1, 1, block), (0, j, w, 0)
         )
 
-    p = jnp.zeros((n, n_pad), jnp.bfloat16)
-    for c0 in range(0, n_pad, block):
+    p4 = jnp.zeros((n, GATHER_NJ, sub, 128), jnp.bfloat16)
+    for c0 in range(0, npad, block):
         # one-hot columns past n propagate to zero (no edges), so the last
         # partial block writes zeros there — harmless padding columns.
-        p = fill(p, g, jnp.int32(c0))
-    return p
+        p4 = fill(p4, g, jnp.int32(c0))
+    return p4
 
 
-@jax.custom_vjp
-def gathered_prop(p_rows: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
-    """reps = P[rows] @ X0 with the backward running as a dim0-contraction
-    over the SAME gathered rows (P symmetric => P[rows]^T are the needed
-    columns). ``p_rows`` is (R, n_pad) bf16 and non-differentiable; ``x0`` is
-    (n, d) f32 — padded to n_pad internally."""
-    return _gp_fwd_only(p_rows, x0)
+def pcache_to_2d(p4: jnp.ndarray) -> jnp.ndarray:
+    """The logical (n, npad) view (tests/debug; a relayout copy on TPU)."""
+    n, nj, sub, lanes = p4.shape
+    return p4.reshape(n, nj * sub * lanes)
+
+
+# -- fused gather+matmul kernels -------------------------------------------------
+
+
+def _fused_fwd(p4, rows, x0b, *, tr, interpret=False):
+    """reps[r] = sum_j P4[rows[r], j] · X0[j-block]  — (R, d) f32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, nj, sub, lanes = p4.shape
+    tkc = sub * lanes
+    npad = nj * tkc
+    d = x0b.shape[1]
+    r_tot = rows.shape[0]
+    ni = r_tot // tr
+    nsteps = ni * nj
+
+    def dma(p_hbm, slab, sems, rows_ref, slot, i, j, r):
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(rows_ref[i * tr + r], 1), j],
+            slab.at[slot, pl.ds(r, 1)],
+            sems.at[slot, r],
+        )
+
+    def kernel(rows_ref, p_hbm, x0_ref, out_ref, slab, acc, sems):
+        i, j = pl.program_id(0), pl.program_id(1)
+        step = i * nj + j
+        slot = jax.lax.rem(step, 2)
+        nstep = step + 1
+        nslot = jax.lax.rem(nstep, 2)
+        ni_, nj_ = jax.lax.div(nstep, nj), jax.lax.rem(nstep, nj)
+
+        @pl.when(step == 0)
+        def _():
+            for r in range(tr):
+                dma(p_hbm, slab, sems, rows_ref, 0, i, j, r).start()
+
+        @pl.when(nstep < nsteps)
+        def _():
+            for r in range(tr):
+                dma(p_hbm, slab, sems, rows_ref, nslot, ni_, nj_, r).start()
+
+        for r in range(tr):
+            dma(p_hbm, slab, sems, rows_ref, slot, i, j, r).wait()
+
+        part = jnp.zeros((tr, d), jnp.float32)
+        for c in range(sub):
+            part += jnp.dot(
+                slab[slot, :, c, :],
+                x0_ref[pl.ds(c * lanes, lanes), :],
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(j == nj - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ni, nj),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tkc, d), lambda i, j, rows_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, d), lambda i, j, rows_ref: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr, sub, lanes), jnp.bfloat16),
+                pltpu.VMEM((tr, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tr)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_tot, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_tot * npad * d,
+            bytes_accessed=r_tot * npad * 2 + ni * npad * d * 2 + r_tot * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rows, p4, x0b)
+
+
+def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
+    """dX0 = P4[rows]^T @ ct — (npad, d) f32, dim0-contraction over the same
+    row stream."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, nj, sub, lanes = p4.shape
+    tkc = sub * lanes
+    npad = nj * tkc
+    d = ctb.shape[1]
+    r_tot = rows.shape[0]
+    ni = r_tot // tr
+    nsteps = nj * ni
+
+    def dma(p_hbm, slab, sems, rows_ref, slot, i, j, r):
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(rows_ref[i * tr + r], 1), j],
+            slab.at[slot, pl.ds(r, 1)],
+            sems.at[slot, r],
+        )
+
+    def kernel(rows_ref, p_hbm, ct_ref, out_ref, slab, sems):
+        j, i = pl.program_id(0), pl.program_id(1)
+        step = j * ni + i
+        slot = jax.lax.rem(step, 2)
+        nstep = step + 1
+        nslot = jax.lax.rem(nstep, 2)
+        nj_, ni_ = jax.lax.div(nstep, ni), jax.lax.rem(nstep, ni)
+
+        @pl.when(step == 0)
+        def _():
+            for r in range(tr):
+                dma(p_hbm, slab, sems, rows_ref, 0, i, j, r).start()
+
+        @pl.when(nstep < nsteps)
+        def _():
+            for r in range(tr):
+                dma(p_hbm, slab, sems, rows_ref, nslot, ni_, nj_, r).start()
+
+        for r in range(tr):
+            dma(p_hbm, slab, sems, rows_ref, slot, i, j, r).wait()
+
+        ct_b = ct_ref[:]
+        for c in range(sub):
+            part = jax.lax.dot_general(
+                slab[slot, :, c, :], ct_b,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(i == 0)
+            def _():
+                out_ref[pl.ds(c * lanes, lanes), :] = part
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[pl.ds(c * lanes, lanes), :] = (
+                    out_ref[pl.ds(c * lanes, lanes), :] + part
+                )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nj, ni),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tr, d), lambda j, i, rows_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tkc, d), lambda j, i, rows_ref: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr, sub, lanes), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, tr)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_tot * npad * d,
+            bytes_accessed=r_tot * npad * 2 + r_tot * d * 2 + npad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rows, p4, ctb)
 
 
 def _pad_rows_to(x, n_pad):
@@ -138,34 +378,183 @@ def _pad_rows_to(x, n_pad):
     )
 
 
-def _gp_fwd_only(p_rows, x0):
-    xb = _pad_rows_to(x0, p_rows.shape[1]).astype(jnp.bfloat16)
-    return jnp.dot(p_rows, xb, preferred_element_type=jnp.float32)
+def _use_pallas(p4) -> bool:
+    return jax.default_backend() == "tpu" and p4.shape[3] == 128
 
 
-def _gp_fwd(p_rows, x0):
-    return _gp_fwd_only(p_rows, x0), (p_rows, x0.shape[0])
+def _cp_fwd_impl(p4, rows, x0):
+    n, nj, sub, lanes = p4.shape
+    npad = nj * sub * lanes
+    r = rows.shape[0]
+    x0b = _pad_rows_to(x0, npad).astype(jnp.bfloat16)
+    if _use_pallas(p4):
+        rp = _pad_to(r, GATHER_TR)
+        rows_p = _pad_rows_to(rows, rp)
+        return _fused_fwd(p4, rows_p, x0b, tr=GATHER_TR)[:r]
+    g = pcache_to_2d(p4)[rows]
+    return jnp.dot(g, x0b, preferred_element_type=jnp.float32)
 
 
-def _gp_bwd(res, ct):
-    p_rows, n = res
-    dx0 = jax.lax.dot_general(
-        p_rows,
-        ct.astype(jnp.bfloat16),
+def _cp_bwd_impl(p4, rows, ct):
+    ctb = ct.astype(jnp.bfloat16)
+    if _use_pallas(p4):
+        r = rows.shape[0]
+        rp = _pad_to(r, GATHER_TR)
+        if rp != r:
+            # padded rows must contribute nothing: zero their cotangent
+            # (padded row ids alias row 0)
+            ctb = _pad_rows_to(ctb, rp)
+            rows = _pad_rows_to(rows, rp)
+        return _fused_bwd(p4, rows, ctb, tr=GATHER_TR)
+    g = pcache_to_2d(p4)[rows]
+    return jax.lax.dot_general(
+        g, ctb,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return None, dx0[:n].astype(jnp.float32)
 
 
-gathered_prop.defvjp(_gp_fwd, _gp_bwd)
+@jax.custom_vjp
+def cached_prop(p4: jnp.ndarray, rows: jnp.ndarray, x0: jnp.ndarray):
+    """reps = P[rows] @ X0 without ever materializing P[rows] (fused Pallas
+    gather+matmul on TPU; gather-then-dot XLA fallback elsewhere). ``p4`` is
+    the (n, NJ, sub, 128) bf16 cache and non-differentiable; ``rows`` is (R,)
+    int32; ``x0`` is (n or npad, d) f32. The backward contracts the SAME row
+    stream on dim 0 (P symmetric)."""
+    return _cp_fwd_impl(p4, rows, x0)
 
 
-def gather_rows(p: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
-    """P[rows] without gradient tracking (P is a buffer)."""
-    return jax.lax.stop_gradient(
-        p.at[rows].get(mode="promise_in_bounds", unique_indices=False)
+def _cp_fwd(p4, rows, x0):
+    return _cp_fwd_impl(p4, rows, x0), (p4, rows, x0.shape[0])
+
+
+def _cp_bwd(res, ct):
+    p4, rows, n = res
+    dx0 = _cp_bwd_impl(p4, rows, ct)
+    return None, None, dx0[:n].astype(jnp.float32)
+
+
+cached_prop.defvjp(_cp_fwd, _cp_bwd)
+
+
+# -- measured engine A/B ---------------------------------------------------------
+
+AB_MEMO_PATH = os.path.join(
+    os.path.expanduser("~"), ".cache", "igcn_cf_tpu", "engine_ab.json"
+)
+_AB_VERSION = "v3"
+
+
+def _ab_memo_key(n: int, d: int, n_layers: int, batch_size: int) -> str:
+    dev = jax.devices()[0].device_kind.replace(" ", "_")
+    return f"{_AB_VERSION}|{dev}|n={n}|d={d}|K={n_layers}|B={batch_size}"
+
+
+def _ab_memo_load() -> dict:
+    try:
+        with open(AB_MEMO_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _ab_memo_store(key: str, entry: dict) -> None:
+    memo = _ab_memo_load()
+    memo[key] = entry
+    try:
+        os.makedirs(os.path.dirname(AB_MEMO_PATH), exist_ok=True)
+        tmp = AB_MEMO_PATH + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(memo, f, indent=1)
+        os.replace(tmp, AB_MEMO_PATH)
+    except OSError:
+        pass  # memo is an optimization only
+
+
+def ab_cached_verdict(n_users: int, n_items: int, d: int, n_layers: int,
+                      batch_size: int):
+    """Disk-memoized A/B verdict, or None if never measured. Lets the model
+    init skip building a multi-GB cache the measurement already rejected."""
+    entry = _ab_memo_load().get(
+        _ab_memo_key(n_users + n_items, d, n_layers, batch_size)
     )
+    return entry if entry else None
+
+
+def measure_engines_ms(bip: BipartiteDense, p4, n_layers: int, d: int,
+                       batch_size: int) -> dict:
+    """Measured ms/step of the part where the engines differ — propagation
+    fwd+bwd: the fused cached-operator kernels on R=3·batch rows vs the
+    K-layer bit-packed recompute. Everything else in the step (X0, loss,
+    Adam) is identical. Timing is scan+readback (utils/timing.py)."""
+    from igcn_cf_tpu.kernels.dense_graph import sym_norm_propagate_mean
+    from igcn_cf_tpu.utils.timing import scan_ms, smin0
+
+    n = bip.n_users + bip.n_items
+    r_tot = 3 * batch_size
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x0 = jax.random.normal(k1, (n, d), jnp.float32)
+    rows = jax.random.randint(k2, (r_tot,), 0, n, dtype=jnp.int32)
+    ct = jax.random.normal(k3, (r_tot, d), jnp.float32)
+    ct_full = jax.random.normal(k4, (n, d), jnp.float32)
+
+    # big arrays travel as scan_ms ARGS, never closures (utils/timing.py)
+    def pc_step(s, p4a, rowsa, x0a, cta):
+        r = rowsa + smin0(s)
+        y, vjpf = jax.vjp(lambda x: cached_prop(p4a, r, x), x0a)
+        (dx,) = vjpf(cta)
+        return (y[0, 0] + dx[0, 0]) * 1e-20
+
+    def rc_step(s, bipa, x0a, cfa):
+        y, vjpf = jax.vjp(
+            lambda x: sym_norm_propagate_mean(bipa, x, n_layers),
+            x0a + s * 1e-30,
+        )
+        (dx,) = vjpf(cfa)
+        return (y[0, 0] + dx[0, 0]) * 1e-20
+
+    return {
+        "pcache_ms": round(scan_ms(pc_step, p4, rows, x0, ct), 3),
+        "recompute_ms": round(scan_ms(rc_step, bip, x0, ct_full), 3),
+    }
+
+
+def ab_select(bip: BipartiteDense, p4, n_layers: int, d: int,
+              batch_size: int) -> tuple[bool, dict]:
+    """Measured engine choice (memoized on disk): True = train through the
+    cache. Never ship an unmeasured default — the round-2 pcache regression
+    shipped because the gate looked only at capacity."""
+    n = bip.n_users + bip.n_items
+    key = _ab_memo_key(n, d, n_layers, batch_size)
+    entry = _ab_memo_load().get(key)
+    if not entry:
+        times = measure_engines_ms(bip, p4, n_layers, d, batch_size)
+        entry = dict(times, use_pcache=times["pcache_ms"] < times["recompute_ms"])
+        _ab_memo_store(key, entry)
+    return bool(entry["use_pcache"]), entry
+
+
+def maybe_build_pcache(bip: BipartiteDense, n_layers: int, d: int,
+                       requested="auto", ab_batch: int = 2048):
+    """Build the cache for a model whose static gate passed; for 'auto' on
+    TPU, confirm with the measured A/B (memoized — a remembered rejection
+    skips the multi-GB build entirely). Returns (p4 or None, ab_entry or
+    None); None p4 means train on the recompute engine."""
+    if requested == "auto" and jax.default_backend() == "tpu":
+        verdict = ab_cached_verdict(bip.n_users, bip.n_items, d, n_layers,
+                                    ab_batch)
+        if verdict is not None and not verdict["use_pcache"]:
+            return None, verdict
+        p4 = build_prop_cache(bip, n_layers)
+        if verdict is not None:
+            return p4, verdict
+        use, entry = ab_select(bip, p4, n_layers, d, ab_batch)
+        return (p4 if use else None), entry
+    return build_prop_cache(bip, n_layers), None
+
+
+# -- test oracle -----------------------------------------------------------------
 
 
 def prop_cache_oracle(train_array: np.ndarray, n_users: int, n_items: int,

@@ -46,9 +46,8 @@ from igcn_cf_tpu.kernels.dense_graph import (
     sym_norm_propagate_mean,
 )
 from igcn_cf_tpu.kernels.pcache import (
-    build_prop_cache,
-    gather_rows,
-    gathered_prop,
+    cached_prop,
+    maybe_build_pcache,
     use_pcache,
 )
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean, spmm
@@ -68,6 +67,7 @@ class IGCN(Model):
         self.delta = config.get("delta", 0.99)
         self.ranking_metric = config.get("ranking_metric", "sort")
         self.alpha = 1.0
+        self.engine_ab = None  # measured A/B entry, set by init_buffers
         self.backend = choose_backend(
             self.n_users, self.n_items, config.get("graph_backend", "auto")
         )
@@ -168,7 +168,17 @@ class IGCN(Model):
             "alpha": jnp.float32(self.alpha),
         }
         if self.pcache:
-            buffers["pcache"] = build_prop_cache(bip, self.n_layers)
+            # measured engine choice (kernels/pcache.py): 'auto' keeps the
+            # cache only when the fused cached step beats recompute on-chip
+            p4, self.engine_ab = maybe_build_pcache(
+                bip, self.n_layers, self.embedding_size,
+                self.config.get("prop_cache", "auto"),
+                int(self.config.get("prop_cache_ab_batch", 2048)),
+            )
+            if p4 is None:
+                self.pcache = False
+            else:
+                buffers["pcache"] = p4
         return buffers
 
     # -- representation -----------------------------------------------------
@@ -234,16 +244,16 @@ class IGCN(Model):
 
     def bpr_pieces(self, params, buffers, users, pos, neg, *, train, key):
         if train and self.pcache:
-            # propagation through the cached operator: gather the 3·batch
-            # rows of P once; forward AND backward ride the same rows
-            # (kernels/pcache.py). X0 (the dropped inductive layer) is the
-            # only full-graph compute left in the step.
+            # propagation through the cached operator: the fused kernel
+            # streams the 3·batch rows of P straight into the MXU; forward
+            # AND backward ride the same row stream (kernels/pcache.py). X0
+            # (the dropped inductive layer) is the only full-graph compute
+            # left in the step.
             x0 = self.inductive_rep_layer(params, buffers, train=True, key=key)
             rows = jnp.concatenate(
                 [users, self.n_users + pos, self.n_users + neg]
             )
-            p_rows = gather_rows(buffers["pcache"], rows)
-            reps = gathered_prop(p_rows, x0)
+            reps = cached_prop(buffers["pcache"], rows, x0)
             b = users.shape[0]
             u, p, n = reps[:b], reps[b : 2 * b], reps[2 * b :]
         else:

@@ -23,9 +23,8 @@ from igcn_cf_tpu.kernels.dense_graph import (
     sym_norm_propagate_mean,
 )
 from igcn_cf_tpu.kernels.pcache import (
-    build_prop_cache,
-    gather_rows,
-    gathered_prop,
+    cached_prop,
+    maybe_build_pcache,
     use_pcache,
 )
 from igcn_cf_tpu.kernels.sparse import SparseGraph, propagate_mean
@@ -48,6 +47,7 @@ class LightGCN(Model):
             self.n_users, self.n_items, self.n_layers,
             config.get("prop_cache", "auto"),
         )
+        self.engine_ab = None  # measured A/B entry, set by init_buffers
 
     def init_params(self, key):
         return {
@@ -63,7 +63,15 @@ class LightGCN(Model):
             )
             buffers = {"bip": bip}
             if self.pcache:
-                buffers["pcache"] = build_prop_cache(bip, self.n_layers)
+                p4, self.engine_ab = maybe_build_pcache(
+                    bip, self.n_layers, self.embedding_size,
+                    self.config.get("prop_cache", "auto"),
+                    int(self.config.get("prop_cache_ab_batch", 2048)),
+                )
+                if p4 is None:
+                    self.pcache = False
+                else:
+                    buffers["pcache"] = p4
             return buffers
         coo = sym_norm_adjacency(
             self.dataset.train_array, self.n_users, self.n_items
@@ -81,8 +89,7 @@ class LightGCN(Model):
         emb = params["embedding"]
         if train and self.pcache:
             rows = jnp.concatenate([users, self.n_users + pos, self.n_users + neg])
-            p_rows = gather_rows(buffers["pcache"], rows)
-            reps = gathered_prop(p_rows, emb)
+            reps = cached_prop(buffers["pcache"], rows, emb)
             b = users.shape[0]
             u, p, n = reps[:b], reps[b : 2 * b], reps[2 * b :]
         else:

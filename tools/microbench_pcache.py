@@ -45,7 +45,8 @@ import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N = 70839
-NPAD = 71680  # 512-aligned
+NPAD = 73728  # NJ*128*8 = 4096-aligned: per-row DMA slabs of the (8,128)-
+# tiled 4D memref must have sub = NPAD/NJ/128 divisible by 8
 R = 6144
 D = 64
 TR = 128
@@ -54,16 +55,21 @@ NJ = 4
 HBM_GBPS = 819.0
 
 
-def loop_time(step, lo=6, hi=26):
-    """ms per call via traced-count fori_loop + D2H readback differencing."""
+def loop_time(step, *args, lo=6, hi=26):
+    """ms per call via traced-count fori_loop + D2H readback differencing.
+    Device arrays MUST be passed via *args, not closed over: closed-over
+    arrays embed as constants and stall axon's remote-compile transport
+    (round-3 finding — the round-2 version of this script hung here)."""
 
     @jax.jit
-    def f(n):
-        return jax.lax.fori_loop(0, n, lambda i, s: step(s), jnp.float32(0.0))
+    def f(n, *a):
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: step(s, *a), jnp.float32(0.0)
+        )
 
     def timed(n):
         t0 = time.time()
-        out = f(jnp.int32(n))
+        out = f(jnp.int32(n), *args)
         _ = float(out)
         return time.time() - t0
 
@@ -311,57 +317,83 @@ def main():
     # pre-gathered G for component timings
     g = jax.jit(lambda p, r: p.at[r].get(mode="promise_in_bounds"))(p, rows)
 
-    t_sum = loop_time(lambda s: jnp.sum(g + s * 0e0).astype(jnp.float32) * 1e-20)
+    t_sum = loop_time(
+        lambda s, ga: jnp.sum(ga + s * 0e0).astype(jnp.float32) * 1e-20, g
+    )
     t_gs = loop_time(
-        lambda s: jnp.sum(
-            p.at[rows + smin(s)].get(mode="promise_in_bounds")
-        ).astype(jnp.float32) * 1e-20
+        lambda s, pa, ra: jnp.sum(
+            pa.at[ra + smin(s)].get(mode="promise_in_bounds")
+        ).astype(jnp.float32) * 1e-20,
+        p, rows,
     )
     report("A0 full-sum of G (consume pass)", t_sum, row_bytes)
     report("A  XLA gather P[rows] (gather+sum-sum)", t_gs - t_sum, row_bytes)
 
     t = loop_time(
-        lambda s: jnp.dot(
-            g, (x0 + s * 1e-30).astype(jnp.bfloat16),
+        lambda s, ga, xa: jnp.dot(
+            ga, (xa + s * 1e-30).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        )[0, 0] * 1e-20
+        )[0, 0] * 1e-20,
+        g, x0,
     )
     report("B  XLA fwd dot G @ X0", t, row_bytes, flops)
 
     t = loop_time(
-        lambda s: jax.lax.dot_general(
-            g, (ct + s * 1e-30).astype(jnp.bfloat16),
+        lambda s, ga, ca: jax.lax.dot_general(
+            ga, (ca + s * 1e-30).astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[0, 0] * 1e-20
+        )[0, 0] * 1e-20,
+        g, ct,
     )
     report("C  XLA bwd G^T @ ct", t, row_bytes, flops)
     del g
     gc.collect()
 
-    from igcn_cf_tpu.kernels.pcache import gather_rows, gathered_prop
-
-    def d_step(s):
-        p_rows = gather_rows(p, rows + smin(s))
-        y, vjpf = jax.vjp(lambda x: gathered_prop(p_rows, x), x0)
-        (dx,) = vjpf(ct)
+    def d_step(s, pa, ra, xa, ca):
+        p_rows = pa.at[ra + smin(s)].get(mode="promise_in_bounds")
+        y, vjpf = jax.vjp(
+            lambda x: jnp.dot(
+                p_rows, x.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ),
+            xa,
+        )
+        (dx,) = vjpf(ca)
         return (y[0, 0] + dx[0, 0]) * 1e-20
 
-    t = loop_time(d_step)
-    report("D  current gather+fwd+bwd (repo path)", t, 3 * row_bytes, 2 * flops)
+    t = loop_time(d_step, p, rows, x0, ct)
+    report("D  round-2 gather+fwd+bwd (old repo path)", t, 3 * row_bytes, 2 * flops)
 
     del p
     gc.collect()
     p4 = jax.random.normal(kp, (N, NJ, NPAD // NJ // 128, 128), dtype=jnp.bfloat16)
 
     t = loop_time(
-        lambda s: fused_fwd_4d(p4, rows + smin(s), x0, r_tot=R, tr=TR)[0, 0] * 1e-20
+        lambda s, pa, ra, xa: fused_fwd_4d(
+            pa, ra + smin(s), xa, r_tot=R, tr=TR
+        )[0, 0] * 1e-20,
+        p4, rows, x0,
     )
     report("F4 Pallas fused fwd (4D contiguous DMA)", t, row_bytes, flops)
     t = loop_time(
-        lambda s: fused_bwd_4d(p4, rows + smin(s), ct, r_tot=R, tr=TR)[0, 0] * 1e-20
+        lambda s, pa, ra, ca: fused_bwd_4d(
+            pa, ra + smin(s), ca, r_tot=R, tr=TR
+        )[0, 0] * 1e-20,
+        p4, rows, ct,
     )
     report("G4 Pallas fused bwd (4D contiguous DMA)", t, row_bytes, flops)
+
+    from igcn_cf_tpu.kernels.pcache import cached_prop
+
+    def e_step(s, pa, ra, xa, ca):
+        r = ra + smin(s)
+        y, vjpf = jax.vjp(lambda x: cached_prop(pa, r, x), xa)
+        (dx,) = vjpf(ca)
+        return (y[0, 0] + dx[0, 0]) * 1e-20
+
+    t = loop_time(e_step, p4, rows, x0[:N], ct)
+    report("E  repo cached_prop fwd+bwd (fused vjp)", t, 2 * row_bytes, 2 * flops)
 
     print(
         f"\nroofline: one pass over gathered rows = {row_bytes/1e9:.2f} GB "
