@@ -75,8 +75,16 @@ import numpy as np
 
 from igcn_cf_tpu.kernels.dense_graph import BipartiteDense, sym_norm_propagate
 
-# P plus the per-step transient DMA traffic (+ slack for params/opt/eval reps)
-# must fit beside the bit-packed B in 16 GB of v5e HBM.
+# Peak-HBM model behind the budget (v5e: 16 GB physical):
+#   P (this gate)                <= 11.0 GiB
+#   bit-packed B (both feat orientations, Gowalla-class)   ~0.7 GiB
+#   params + Adam state + grads (table d=64, f32, x4)      ~0.1 GiB
+#   X0 / reps / eval reps (n x d f32, a few copies)        ~0.1 GiB
+#   fused-kernel transients: none in HBM (row slabs stream
+#   through VMEM; P[rows] is never materialized)            0
+#   XLA workspace + fragmentation slack                    ~4.1 GiB
+# Catalogs whose P exceeds the gate (e.g. Amazon-book, ~41.5 GiB) stay on
+# the bit-packed recompute engine (see tools/amazon_scale_check.py).
 PCACHE_BUDGET_BYTES = 11 * 1024**3
 
 # Column-block width for the build: one MXU lane width. Wider blocks hit the

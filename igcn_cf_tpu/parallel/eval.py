@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from igcn_cf_tpu.core.mesh import TABLE_AXIS
+from igcn_cf_tpu.core.mesh import TABLE_AXIS, reshard
 from igcn_cf_tpu.evaluation.evaluate import build_exclusion
 from igcn_cf_tpu.evaluation.metrics import calculate_metrics, format_metrics
 from igcn_cf_tpu.parallel.topk import sharded_topk
@@ -34,8 +34,8 @@ def _pad_rows_np(x: np.ndarray, n: int) -> np.ndarray:
 
 def sharded_recommend(
     mesh: Mesh,
-    users_rep: jnp.ndarray,  # (n_users, d) replicated
-    items_rep: np.ndarray,  # (n_items, d) host or device; will be row-sharded
+    users_rep: jnp.ndarray,  # (n_users, d) host, or a global device array
+    items_rep,  # (n_items, d) host, or a (possibly table-sharded) global array
     ds,
     split: str,
     topks: Sequence[int],
@@ -43,17 +43,32 @@ def sharded_recommend(
     test_batch_size: int = 512,
 ) -> np.ndarray:
     """Top-max(topks) ids per user with the reference's masking semantics
-    (reference trainer.py:140-166), scored shard-locally."""
+    (reference trainer.py:140-166), scored shard-locally.
+
+    Multi-host-safe: device inputs are resharded with compiled collectives
+    (core/mesh.reshard) — no ``np.asarray`` on non-addressable shards — so
+    the reps produced by the sharded trainer's ``rep_fn`` stay on device
+    end-to-end."""
     n_users, n_items = ds.n_users, ds.n_items
     n_shards = mesh.shape[TABLE_AXIS]
     max_k = max(topks)
 
     items_pad = -(-n_items // n_shards) * n_shards
-    items_rep_p = _pad_rows_np(np.asarray(items_rep), items_pad)
     tbl = NamedSharding(mesh, P(TABLE_AXIS, None))
     repl = NamedSharding(mesh, P())
-    items_sh = jax.device_put(jnp.asarray(items_rep_p), tbl)
-    users_rep = jax.device_put(jnp.asarray(users_rep), repl)
+    if isinstance(items_rep, jax.Array):
+        # pad + reshard in one compiled step; the source rows stay sharded
+        items_sh = jax.jit(
+            lambda x: jnp.pad(x, ((0, items_pad - n_items), (0, 0))),
+            out_shardings=tbl,
+        )(items_rep)
+    else:
+        items_rep_p = _pad_rows_np(np.asarray(items_rep), items_pad)
+        items_sh = jax.device_put(jnp.asarray(items_rep_p), tbl)
+    users_rep = reshard(
+        users_rep if isinstance(users_rep, jax.Array) else jnp.asarray(users_rep),
+        repl,
+    )
 
     if split != "train":
         exclude_np, _ = build_exclusion(ds, include_val=(split == "test"))

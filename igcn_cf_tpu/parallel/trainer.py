@@ -17,12 +17,19 @@ Checkpoints hold host numpy copies of the (gathered) parameters plus the
 template maps and alpha — the same inductive contract as the single-chip
 model save (reference model.py:454-466).
 
-Single-host scope: eval and checkpointing pull sharded arrays to the host
-(``np.asarray``), which requires all shards addressable — true for any
-single-process mesh (1 chip to a full host, and the virtual CPU test mesh).
-Multi-host runs (core/mesh.initialize_distributed) additionally need
-allgather-to-host plumbing for eval; the train path itself is
-process-count-agnostic.
+Multi-host-safe (round 3): eval keeps the node representations ON DEVICE —
+``rep_fn``'s row-sharded output is sliced globally and fed straight to
+``sharded_evaluate`` (users replicated by a compiled all-gather, items
+staying row-sharded); checkpointing gathers params through
+``core/mesh.to_host_replicated`` (collective reshard, then a local
+``np.asarray``). Nothing in eval/save requires all shards to be
+process-addressable, so the loop runs unchanged when
+``jax.process_count() > 1`` (core/mesh.initialize_distributed).
+
+Beyond the reference loop, ``save_state``/``load_state`` persist the FULL
+training state (params, Adam state, epoch, best metric, patience, PRNG key,
+alpha) for crash resume — same contract as the single-chip
+``BasicTrainer.save_state`` (train/trainer.py).
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from igcn_cf_tpu.core.mesh import to_host_replicated
 from igcn_cf_tpu.parallel.eval import sharded_evaluate
 from igcn_cf_tpu.parallel.steps import ShardedINMOTrain, build_inmo_sharded_train
 
@@ -53,8 +61,15 @@ class ShardedIGCNTrainer:
         self.batch_size = trainer_config.get("batch_size", 2048)
         self.seed = trainer_config.get("seed", 2021)
         self.epoch = 0
+        self.start_epoch = 0
         self.best_ndcg = -np.inf
+        self.patience = self.max_patience
         self.save_path: Optional[str] = None
+        # full-state checkpointing every N epochs (0 = off), for crash resume
+        self.state_interval = trainer_config.get("state_interval", 0)
+        self.state_path = trainer_config.get(
+            "state_path", os.path.join("checkpoints", "sharded_train_state.pkl")
+        )
         self.name = "ShardedIGCNTrainer"
         self.model_name = model_config.get("name", "IGCN")
 
@@ -94,8 +109,11 @@ class ShardedIGCNTrainer:
     # -- evaluation -----------------------------------------------------------
 
     def _reps(self):
+        """User/item representation slices as GLOBAL device arrays (no host
+        pull — multi-host-safe; sharded_evaluate reshards them with compiled
+        collectives)."""
         ts = self.train_state
-        rep = np.asarray(ts.rep_fn(ts.params, ts.buffers))
+        rep = ts.rep_fn(ts.params, ts.buffers)
         users_rep = rep[: ts.n_users]
         items_rep = rep[ts.n_users : ts.n_users + ts.n_items]
         return users_rep, items_rep
@@ -104,7 +122,7 @@ class ShardedIGCNTrainer:
         users_rep, items_rep = self._reps()
         return sharded_evaluate(
             self.mesh,
-            jnp.asarray(users_rep),
+            users_rep,
             items_rep,
             self.dataset,
             val_or_test,
@@ -115,10 +133,15 @@ class ShardedIGCNTrainer:
 
     # -- checkpointing --------------------------------------------------------
 
+    def _host_params(self):
+        return jax.tree_util.tree_map(
+            lambda x: to_host_replicated(x, self.mesh), self.train_state.params
+        )
+
     def save(self, path: str):
         ts = self.train_state
         state = {
-            "params": jax.tree_util.tree_map(np.asarray, ts.params),
+            "params": self._host_params(),
             "user_map": ts.user_map,
             "item_map": ts.item_map,
             "alpha": float(np.asarray(ts.buffers["alpha"])),
@@ -143,14 +166,74 @@ class ShardedIGCNTrainer:
         }
         ts.buffers = dict(ts.buffers, alpha=jnp.float32(state["alpha"]))
 
+    # -- full-state checkpoint / resume (beyond the reference; matches
+    # train/trainer.py::BasicTrainer.save_state contract) -----------------------
+
+    def save_state(self, path: Optional[str] = None) -> str:
+        ts = self.train_state
+        path = path or self.state_path
+        state = {
+            "params": self._host_params(),
+            "opt_state": jax.tree_util.tree_map(
+                lambda x: to_host_replicated(x, self.mesh), ts.opt_state
+            ),
+            "alpha": float(np.asarray(ts.buffers["alpha"])),
+            "epoch": self.epoch,
+            "best_ndcg": self.best_ndcg,
+            "patience": self.patience,
+            "save_path": self.save_path,
+            "rng_key": np.asarray(self._key),
+            "user_map": ts.user_map,
+            "item_map": ts.item_map,
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the state
+        return path
+
+    def load_state(self, path: Optional[str] = None) -> None:
+        ts = self.train_state
+        path = path or self.state_path
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        emb_sh = ts.params["embedding"].sharding
+        w_sh = ts.params["w"].sharding
+        ts.params = {
+            "embedding": jax.device_put(
+                jnp.asarray(state["params"]["embedding"]), emb_sh
+            ),
+            "w": jax.device_put(jnp.asarray(state["params"]["w"]), w_sh),
+        }
+        from jax.sharding import NamedSharding
+
+        def _put(ref, x):
+            # re-apply mesh shardings; leave scalars/uncommitted leaves free
+            # (committing them to one device would conflict with the mesh)
+            if isinstance(getattr(ref, "sharding", None), NamedSharding):
+                return jax.device_put(jnp.asarray(x), ref.sharding)
+            return jnp.asarray(x)
+
+        ts.opt_state = jax.tree_util.tree_map(_put, ts.opt_state, state["opt_state"])
+        ts.buffers = dict(ts.buffers, alpha=jnp.float32(state["alpha"]))
+        self.start_epoch = state["epoch"] + 1
+        self.best_ndcg = state["best_ndcg"]
+        self.patience = state["patience"]
+        self.save_path = state["save_path"]
+        self._key = jnp.asarray(state["rng_key"])
+
     # -- main loop (reference trainer.py:57-107) --------------------------------
 
     def train(self, verbose: bool = True, writer=None) -> float:
         os.makedirs("checkpoints", exist_ok=True)
-        patience = self.max_patience
-        for self.epoch in range(self.n_epochs):
+        steps = self.train_state.steps_per_epoch
+        for self.epoch in range(self.start_epoch, self.n_epochs):
             start = time.time()
             loss = self.train_one_epoch()
+            train_time = time.time() - start
+            # per-epoch train-split metric eval (reference trainer.py:71)
+            _, train_metrics = self.eval("train")
             if verbose:
                 print(
                     "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
@@ -161,8 +244,18 @@ class ShardedIGCNTrainer:
                 writer.add_scalar(
                     f"{self.model_name}_{self.name}/train_loss", loss, self.epoch
                 )
+                writer.add_scalar(
+                    f"{self.model_name}_{self.name}/examples_per_s",
+                    steps * self.batch_size / max(train_time, 1e-9),
+                    self.epoch,
+                )
+                writer.record(
+                    self.model_name, self.name, "train", train_metrics, self.epoch
+                )
 
             if (self.epoch + 1) % self.val_interval != 0:
+                if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
+                    self.save_state()
                 continue
             results, metrics = self.eval("val")
             if verbose:
@@ -172,6 +265,7 @@ class ShardedIGCNTrainer:
                     self.model_name, self.name, "validation", metrics, self.epoch
                 )
             ndcg = metrics["NDCG"][self.topks[0]]
+            early_stop = False
             if ndcg > self.best_ndcg:
                 if self.save_path and os.path.exists(self.save_path):
                     os.remove(self.save_path)
@@ -183,15 +277,20 @@ class ShardedIGCNTrainer:
                 )
                 self.best_ndcg = ndcg
                 self.save(self.save_path)
-                patience = self.max_patience
+                self.patience = self.max_patience
                 if verbose:
                     print("Best NDCG, save model to {:s}".format(self.save_path))
             else:
-                patience -= self.val_interval
-                if patience <= 0:
-                    if verbose:
-                        print("Early stopping!")
-                    break
+                self.patience -= self.val_interval
+                early_stop = self.patience <= 0
+            # full training state AFTER the best-ckpt block, so a resumed run
+            # never references a deleted best-model path
+            if self.state_interval and (self.epoch + 1) % self.state_interval == 0:
+                self.save_state()
+            if early_stop:
+                if verbose:
+                    print("Early stopping!")
+                break
         if self.save_path:
             self.load(self.save_path)
         return self.best_ndcg
