@@ -70,7 +70,7 @@ def _bench_dataset():
     return ds
 
 
-def _step_model(model, ds, d, n_layers):
+def _step_model(model, buffers, ds, d, n_layers):
     """Modeled per-step FLOPs and HBM bytes of the dominant ops, per engine.
 
     IGCN step = feature aggregation fwd + its backward (dE) over the dense
@@ -85,7 +85,7 @@ def _step_model(model, ds, d, n_layers):
     feat_flops = 2 * 2 * n * n_t * d  # fwd + bwd(dE)
     feat_bytes = 2 * (n * n_t / 8 + n_t * d * 4 + n * d * 4)
     if getattr(model, "pcache", False):
-        p4 = model.buffers["pcache"]
+        p4 = buffers["pcache"]
         npad = p4.shape[1] * p4.shape[2] * p4.shape[3]
         prop_flops = 2 * 2 * r * npad * d
         prop_bytes = 2 * (r * npad * 2) + npad * d * 2 + r * d * 4
@@ -144,7 +144,7 @@ def _run_igcn(ds, prop_cache):
     engine = "pcache" if getattr(model, "pcache", False) else model.backend
     dt, loss, compile_s = _measure_train(trainer, N_STEPS)
     step_ms = 1000.0 * dt / N_STEPS
-    flops, bytes_ = _step_model(model, ds, 64, 3)
+    flops, bytes_ = _step_model(model, trainer.buffers, ds, 64, 3)
     out = {
         "engine": engine,
         "step_ms": round(step_ms, 2),

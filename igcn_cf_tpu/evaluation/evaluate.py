@@ -93,8 +93,12 @@ def recommend(
         banned_mask_np[np.asarray(banned_items, dtype=np.int64)] = True
     banned_mask = jnp.asarray(banned_mask_np)
 
-    rec = np.empty((n_users, max_k), dtype=np.int64)
-    # fixed batch size with tail padding so the jitted fns see one shape
+    # fixed batch size with tail padding so the jitted fns see one shape.
+    # All batches are DISPATCHED without synchronizing and concatenated on
+    # device; the single np.asarray at the end is the only D2H. (A blocking
+    # per-batch readback costs one tunnel round-trip per 512 users on the
+    # remote-TPU platform — it dominated eval wall-clock in round 2.)
+    parts = []
     for start in range(0, n_users, test_batch_size):
         stop = min(start + test_batch_size, n_users)
         users_np = np.arange(start, stop, dtype=np.int32)
@@ -103,9 +107,11 @@ def recommend(
             users_np = np.concatenate([users_np, pad])
         users = jnp.asarray(users_np)
         scores = predict_fn(users)
-        items = _mask_and_topk(scores, exclude[users], banned_mask, max_k, n_items)
-        rec[start:stop] = np.asarray(items)[: stop - start]
-    return rec
+        parts.append(
+            _mask_and_topk(scores, exclude[users], banned_mask, max_k, n_items)
+        )
+    rec_dev = jnp.concatenate(parts, axis=0)[:n_users]
+    return np.asarray(rec_dev).astype(np.int64)
 
 
 def evaluate(

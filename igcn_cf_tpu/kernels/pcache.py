@@ -44,9 +44,12 @@ i.e. a plain reshape of the logical (n, npad) matrix; each (row, j) pair is
 one contiguous (npad/NJ/128, 128) slab. Forward: grid (R/TR, NJ), each step
 DMAs TR slabs (double-buffered against the previous step's matmuls),
 contracts them with the matching X0 column block, accumulates over j in a
-VMEM scratch. Backward runs the same stream with the contraction on dim 0
-(P symmetric => gathered rows double as the needed columns), accumulating
-``dX0`` column blocks across the inner grid axis.
+VMEM scratch. Backward runs the same stream contracted on dim 0 (P symmetric
+=> gathered rows double as the needed columns) as ONE whole-slab
+``dot_general`` per grid step — ct^T (d, TR) x slab (TR, sub, 128) — into a
+4-D (NJ, d, sub, 128) output reshaped once outside; the per-column-tile
+version of the same contraction ran 4.6x slower (9.4 -> 2.0 ms,
+tools/microbench_bwd2.py).
 
 Numerics: P is stored in bfloat16 (relative error <= 2^-9 per entry; the
 training matmuls already run their inputs in bfloat16). The backward uses the
@@ -162,27 +165,41 @@ def build_prop_cache(g: BipartiteDense, n_layers: int,
     sub = npad // GATHER_NJ // 128
     inv = 1.0 / float(n_layers + 1)
 
+    # 16 column blocks per dispatch (one compile, traced offsets, donated
+    # buffer): the round-2 per-block python loop paid ~576 sequential remote
+    # dispatches — dispatch latency, not compute, dominated its 144 s. (A
+    # single fori_loop over ALL blocks crashes the remote compiler at the
+    # 10.9 GB carry, so the loop is chunked python-side.)
+    # words per j is a multiple of 8 (_ALIGN), so chunk=8 always divides;
+    # prefer 16 when it does. A chunk never crosses a j boundary.
+    chunk = 16 if (npad // GATHER_NJ) % (16 * block) == 0 else 8
+    assert (npad // GATHER_NJ) % (chunk * block) == 0
+
     @partial(jax.jit, donate_argnums=(0,))
     def fill(p4, bip, c0):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1) + c0
-        x = (rows == cols).astype(jnp.float32)
-        acc = x * inv
-        for _ in range(n_layers):
-            x = sym_norm_propagate(bip, x)
-            acc = acc + x * inv
-        # column block c0 lands at slab j = c0 // (npad/NJ), word
-        # w = (c0 % (npad/NJ)) // 128
-        j = c0 // (npad // GATHER_NJ)
-        w = (c0 % (npad // GATHER_NJ)) // 128
-        return jax.lax.dynamic_update_slice(
-            p4, acc.astype(jnp.bfloat16).reshape(n, 1, 1, block), (0, j, w, 0)
-        )
+        for k in range(chunk):
+            ck = c0 + k * block
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1) + ck
+            # one-hot columns past n propagate to zero (no edges), so the
+            # last partial block writes zeros there — harmless padding.
+            x = (rows == cols).astype(jnp.float32)
+            acc = x * inv
+            for _ in range(n_layers):
+                x = sym_norm_propagate(bip, x)
+                acc = acc + x * inv
+            # column block ck lands at slab j = ck // (npad/NJ), word
+            # w = (ck % (npad/NJ)) // 128
+            j = ck // (npad // GATHER_NJ)
+            w = jax.lax.rem(ck, npad // GATHER_NJ) // 128
+            p4 = jax.lax.dynamic_update_slice(
+                p4, acc.astype(jnp.bfloat16).reshape(n, 1, 1, block),
+                (0, j, w, 0),
+            )
+        return p4
 
     p4 = jnp.zeros((n, GATHER_NJ, sub, 128), jnp.bfloat16)
-    for c0 in range(0, npad, block):
-        # one-hot columns past n propagate to zero (no edges), so the last
-        # partial block writes zeros there — harmless padding columns.
+    for c0 in range(0, npad, chunk * block):
         p4 = fill(p4, g, jnp.int32(c0))
     return p4
 
@@ -289,8 +306,16 @@ def _fused_fwd(p4, rows, x0b, *, tr, interpret=False):
 
 
 def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
-    """dX0 = P4[rows]^T @ ct — (npad, d) f32, dim0-contraction over the same
-    row stream."""
+    """dX0^T as a 4-D (nj, d, sub, lanes) block — the same row stream as the
+    forward, contracted on dim 0 (P symmetric).
+
+    Round-3 kernel finding (tools/microbench_bwd2.py): the original
+    per-column-tile accumulation loop (144 small predicated dots per grid
+    step) ran at 6.2 TF/s (9.4 ms); ONE ``dot_general`` per grid step over
+    the whole 3-D slab — ct^T (d, tr) x slab (tr, sub, lanes) contracting
+    tr — runs at 28.5 TF/s (2.03 ms, vs the 1.1 ms HBM roofline). The output
+    stays in the (d, sub, lanes) slab layout; the caller reshapes to
+    (npad, d) once outside (one fused XLA transpose, ~19 MB)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -330,23 +355,23 @@ def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
         for r in range(tr):
             dma(p_hbm, slab, sems, rows_ref, slot, i, j, r).wait()
 
-        ct_b = ct_ref[:]
-        for c in range(sub):
-            part = jax.lax.dot_general(
-                slab[slot, :, c, :], ct_b,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        ct_t = ct_ref[:].T  # (d, tr) — one transpose per grid step
+        rhs = slab[slot]
+        if interpret:  # CPU interpret lacks a bf16 x bf16 -> f32 3-D dot
+            ct_t, rhs = ct_t.astype(jnp.float32), rhs.astype(jnp.float32)
+        part = jax.lax.dot_general(
+            ct_t, rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, sub, lanes)
 
-            @pl.when(i == 0)
-            def _():
-                out_ref[pl.ds(c * lanes, lanes), :] = part
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = part.reshape(1, d, sub, lanes)
 
-            @pl.when(i > 0)
-            def _():
-                out_ref[pl.ds(c * lanes, lanes), :] = (
-                    out_ref[pl.ds(c * lanes, lanes), :] + part
-                )
+        @pl.when(i > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part.reshape(1, d, sub, lanes)
 
     return pl.pallas_call(
         kernel,
@@ -358,16 +383,18 @@ def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
                 pl.BlockSpec((tr, d), lambda j, i, rows_ref: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tkc, d), lambda j, i, rows_ref: (j, 0),
+            out_specs=pl.BlockSpec((1, d, sub, lanes),
+                                   lambda j, i, rows_ref: (j, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, tr, sub, lanes), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2, tr)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nj, d, sub, lanes), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r_tot * npad * d,
@@ -376,6 +403,13 @@ def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
         ),
         interpret=interpret,
     )(rows, p4, ctb)
+
+
+def _bwd_to_2d(out4: jnp.ndarray) -> jnp.ndarray:
+    """(nj, d, sub, lanes) -> (npad, d): undo the slab layout (one fused XLA
+    transpose)."""
+    nj, d, sub, lanes = out4.shape
+    return jnp.moveaxis(out4, 1, 0).reshape(d, nj * sub * lanes).T
 
 
 def _pad_rows_to(x, n_pad):
@@ -413,7 +447,7 @@ def _cp_bwd_impl(p4, rows, ct):
             # (padded row ids alias row 0)
             ctb = _pad_rows_to(ctb, rp)
             rows = _pad_rows_to(rows, rp)
-        return _fused_bwd(p4, rows, ctb, tr=GATHER_TR)
+        return _bwd_to_2d(_fused_bwd(p4, rows, ctb, tr=GATHER_TR))
     g = pcache_to_2d(p4)[rows]
     return jax.lax.dot_general(
         g, ctb,
@@ -450,7 +484,7 @@ cached_prop.defvjp(_cp_fwd, _cp_bwd)
 AB_MEMO_PATH = os.path.join(
     os.path.expanduser("~"), ".cache", "igcn_cf_tpu", "engine_ab.json"
 )
-_AB_VERSION = "v3"
+_AB_VERSION = "v4"  # bumped when the fused kernels change -> re-measure
 
 
 def _ab_memo_key(n: int, d: int, n_layers: int, batch_size: int) -> str:

@@ -118,7 +118,9 @@ def sharded_recommend(
         )
     )
 
-    rec = np.empty((n_users, max_k), dtype=np.int64)
+    # dispatch every batch without synchronizing; one D2H at the end (a
+    # per-batch readback costs a tunnel round-trip per 512 users)
+    parts = []
     for start in range(0, n_users, test_batch_size):
         stop = min(start + test_batch_size, n_users)
         users_np = np.arange(start, stop, dtype=np.int32)
@@ -126,9 +128,9 @@ def sharded_recommend(
             users_np = np.concatenate(
                 [users_np, np.full(test_batch_size - (stop - start), stop - 1, np.int32)]
             )
-        out = run(users_rep[users_np], items_sh, exclude[users_np], banned)
-        rec[start:stop] = np.asarray(out)[: stop - start]
-    return rec
+        parts.append(run(users_rep[users_np], items_sh, exclude[users_np], banned))
+    rec_dev = jnp.concatenate(parts, axis=0)[:n_users]
+    return np.asarray(rec_dev).astype(np.int64)
 
 
 def sharded_evaluate(

@@ -13,6 +13,7 @@ import pytest
 from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
 from igcn_cf_tpu.kernels.pcache import (
     GATHER_TR,
+    _bwd_to_2d,
     _fused_bwd,
     _fused_fwd,
     build_prop_cache,
@@ -104,7 +105,7 @@ def test_fused_kernels_interpret_mode():
     np.testing.assert_allclose(
         np.asarray(got_fwd), np.asarray(want_fwd), rtol=1e-5, atol=1e-4
     )
-    got_bwd = _fused_bwd(p4, rows, ctb, tr=tr, interpret=True)
+    got_bwd = _bwd_to_2d(_fused_bwd(p4, rows, ctb, tr=tr, interpret=True))
     np.testing.assert_allclose(
         np.asarray(got_bwd), np.asarray(want_bwd), rtol=1e-5, atol=1e-4
     )
