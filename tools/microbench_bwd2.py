@@ -260,7 +260,7 @@ def main():
     row_bytes = R * NPAD * 2
     flops = 2 * R * NPAD * D
 
-    for nj in (4, 8):
+    for nj in (2, 4, 8):
         p4 = jax.random.normal(
             kp, (N, nj, NPAD // nj // 128, 128), dtype=jnp.bfloat16
         )
