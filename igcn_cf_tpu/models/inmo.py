@@ -170,10 +170,13 @@ class IGCN(Model):
         if self.pcache:
             # measured engine choice (kernels/pcache.py): 'auto' keeps the
             # cache only when the fused cached step beats recompute on-chip
+            # A/B batch: explicit config override, else the trainer's real
+            # batch size (set on the model before init_buffers), else 2048
             p4, self.engine_ab = maybe_build_pcache(
                 bip, self.n_layers, self.embedding_size,
                 self.config.get("prop_cache", "auto"),
-                int(self.config.get("prop_cache_ab_batch", 2048)),
+                int(self.config.get("prop_cache_ab_batch",
+                                    getattr(self, "ab_batch", 2048))),
             )
             if p4 is None:
                 self.pcache = False

@@ -63,10 +63,13 @@ class LightGCN(Model):
             )
             buffers = {"bip": bip}
             if self.pcache:
+                # A/B batch: explicit config override, else the trainer's
+                # real batch size (set on the model before init_buffers)
                 p4, self.engine_ab = maybe_build_pcache(
                     bip, self.n_layers, self.embedding_size,
                     self.config.get("prop_cache", "auto"),
-                    int(self.config.get("prop_cache_ab_batch", 2048)),
+                    int(self.config.get("prop_cache_ab_batch",
+                                        getattr(self, "ab_batch", 2048))),
                 )
                 if p4 is None:
                     self.pcache = False

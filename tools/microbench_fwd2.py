@@ -1,10 +1,27 @@
-"""Forward pcache kernel: whole-slab dot_general variant.
+"""Pcache FORWARD sweep: kill the per-c accumulation loop (round-4 item #1).
 
-The bwd_one finding (tools/microbench_bwd2.py: 9.4 -> 2.0 ms by replacing
-the per-column-tile dot loop with ONE dot_general per grid step) suggests the
-same for the forward: contract the full 3-D slab (tr, sub, lanes) against the
-matching X0 block reshaped (sub, lanes, d) with TWO contracting dims, instead
-of 144 (tr,128)x(128,d) dots. Baseline: fwd = 2.64 ms at (nj=4, tr=128).
+Round-3 drove the backward from 9.4 -> 2.03 ms by replacing 144 small
+per-column-tile dots per grid step with ONE whole-slab ``dot_general``
+(tools/microbench_bwd2.py). The forward kernel still runs the 144-dot loop:
+
+    for c in range(sub):                       # sub = 144 at Gowalla scale
+        part += slab[slot, :, c, :] @ x0[c]    # (tr,128)@(128,64)
+
+and measures ~3 ms of the 5.0 ms fused fwd+bwd piece (BENCH_r03
+init_ab_ms: pcache 5.03 ms total, bwd alone 2.03 ms) vs a ~1.1 ms one-pass
+HBM floor. Variants tested here, all on the identical per-row DMA stream:
+
+  fwd_loop   — the production per-c loop (baseline).
+  fwd_one2   — ONE dot_general contracting BOTH slab dims:
+               slab (tr, sub, lanes) x x0r (sub, lanes, d) dims ((1,2),(0,1)).
+               x0 is passed pre-reshaped (nj, sub, lanes, d) outside.
+  fwd_batch  — batched matmul, batch dim = sub, then reduce:
+               dot_general(((2,),(1,)), ((1,),(0,))) -> (sub, tr, d), sum(0).
+  fwd_loopT  — per-c loop but accumulating into a VMEM scratch column slice
+               (matches bwd_acc structure) to separate vreg-accumulate cost
+               from dot-issue cost.
+
+Run: python tools/microbench_fwd2.py
 """
 
 from __future__ import annotations
@@ -20,8 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from igcn_cf_tpu.kernels.pcache import _fused_fwd
 
 N = 70839
 NPAD = 73728
@@ -58,16 +73,47 @@ def _dma(p_hbm, slab, sems, rows_ref, slot, i, j, r, tr):
     )
 
 
-def fwd_one(p4, rows, x0b3, *, tr, vmem_mb=100):
-    """x0b3 is (nj, sub, lanes, d) bf16 — X0 pre-reshaped into slab layout."""
+def _mk(kernel_body, p4, rows, x0_spec, x0_arr, tr, extra_scratch=(),
+        vmem_mb=100):
     n, nj, sub, lanes = p4.shape
-    npad = nj * sub * lanes
-    d = x0b3.shape[3]
+    tkc = sub * lanes
+    npad = nj * tkc
     r_tot = rows.shape[0]
+    ni = r_tot // tr
+    return pl.pallas_call(
+        kernel_body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ni, nj),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), x0_spec],
+            out_specs=pl.BlockSpec((tr, D), lambda i, j, rows_ref: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr, sub, lanes), jnp.bfloat16),
+                pltpu.VMEM((tr, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tr)),
+                *extra_scratch,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_tot, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_tot * npad * D,
+            bytes_accessed=r_tot * npad * 2 + npad * D * 2 + r_tot * D * 4,
+            transcendentals=0,
+        ),
+    )(rows, p4, x0_arr)
+
+
+def _prelude(p4, tr, r_tot):
+    n, nj, sub, lanes = p4.shape
     ni = r_tot // tr
     nsteps = ni * nj
 
-    def kernel(rows_ref, p_hbm, x0_ref, out_ref, slab, acc, sems):
+    def pre(rows_ref, p_hbm, slab, sems):
         i, j = pl.program_id(0), pl.program_id(1)
         step = i * nj + j
         slot = jax.lax.rem(step, 2)
@@ -88,12 +134,26 @@ def fwd_one(p4, rows, x0b3, *, tr, vmem_mb=100):
         for r in range(tr):
             _dma(p_hbm, slab, sems, rows_ref, slot, i, j, r, tr).wait()
 
-        # (tr, sub, lanes) x (1, sub, lanes, d) contracting (sub, lanes)
-        part = jax.lax.dot_general(
-            slab[slot], x0_ref[0],
-            dimension_numbers=(((1, 2), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (tr, d)
+        return i, j, slot
+
+    return pre, nj, sub, lanes
+
+
+def fwd_loop(p4, rows, x0b, *, tr):
+    """Production kernel: per-c accumulate loop."""
+    r_tot = rows.shape[0]
+    pre, nj, sub, lanes = _prelude(p4, tr, r_tot)
+    tkc = sub * lanes
+
+    def kernel(rows_ref, p_hbm, x0_ref, out_ref, slab, acc, sems):
+        i, j, slot = pre(rows_ref, p_hbm, slab, sems)
+        part = jnp.zeros((tr, D), jnp.float32)
+        for c in range(sub):
+            part += jnp.dot(
+                slab[slot, :, c, :],
+                x0_ref[pl.ds(c * lanes, lanes), :],
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(j == 0)
         def _():
@@ -107,52 +167,107 @@ def fwd_one(p4, rows, x0b3, *, tr, vmem_mb=100):
         def _():
             out_ref[:] = acc[:]
 
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ni, nj),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, sub, lanes, d),
-                             lambda i, j, rows_ref: (j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tr, d), lambda i, j, rows_ref: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, tr, sub, lanes), jnp.bfloat16),
-                pltpu.VMEM((tr, d), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, tr)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((r_tot, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=vmem_mb * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * r_tot * npad * d,
-            bytes_accessed=r_tot * npad * 2 + npad * d * 2 + r_tot * d * 4,
-            transcendentals=0,
-        ),
-    )(rows, p4, x0b3)
+    spec = pl.BlockSpec((tkc, D), lambda i, j, rows_ref: (j, 0),
+                        memory_space=pltpu.VMEM)
+    return _mk(kernel, p4, rows, spec, x0b, tr)
+
+
+def fwd_one2(p4, rows, x0r, *, tr):
+    """ONE dot_general contracting both slab dims; x0r is (nj, sub, lanes, D)."""
+    r_tot = rows.shape[0]
+    pre, nj, sub, lanes = _prelude(p4, tr, r_tot)
+
+    def kernel(rows_ref, p_hbm, x0_ref, out_ref, slab, acc, sems):
+        i, j, slot = pre(rows_ref, p_hbm, slab, sems)
+        part = jax.lax.dot_general(
+            slab[slot], x0_ref[0],
+            dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tr, D)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(j == nj - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    spec = pl.BlockSpec((1, sub, lanes, D), lambda i, j, rows_ref: (j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return _mk(kernel, p4, rows, spec, x0r, tr)
+
+
+def fwd_batch(p4, rows, x0r, *, tr):
+    """Batched matmul over sub then reduce; x0r is (nj, sub, lanes, D)."""
+    r_tot = rows.shape[0]
+    pre, nj, sub, lanes = _prelude(p4, tr, r_tot)
+
+    def kernel(rows_ref, p_hbm, x0_ref, out_ref, slab, acc, sems):
+        i, j, slot = pre(rows_ref, p_hbm, slab, sems)
+        bm = jax.lax.dot_general(
+            slab[slot], x0_ref[0],
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (sub, tr, D)
+        part = jnp.sum(bm, axis=0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(j == nj - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    spec = pl.BlockSpec((1, sub, lanes, D), lambda i, j, rows_ref: (j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return _mk(kernel, p4, rows, spec, x0r, tr)
+
+
+def report(name, ms, nbytes, flops=0):
+    line = f"{name:40s} {ms:8.3f} ms   {nbytes / 1e9 / (ms / 1e3):7.1f} GB/s"
+    if flops:
+        line += f"   {flops / (ms / 1e3) / 1e12:6.1f} TF/s"
+    print(line, flush=True)
 
 
 def correctness():
-    n, nj, sub, d, tr = 700, 2, 8, 32, 64
+    n, nj, sub, d, tr = 700, 2, 16, 64, 64
     r_tot = 3 * tr
+    lanes = 128
+    npad = nj * sub * lanes
     rng = np.random.default_rng(0)
-    p4 = jnp.asarray(rng.standard_normal((n, nj, sub, 128))).astype(jnp.bfloat16)
+    p4 = jnp.asarray(rng.standard_normal((n, nj, sub, lanes))).astype(jnp.bfloat16)
     rows = jnp.asarray(rng.integers(0, n, size=r_tot).astype(np.int32))
-    npad = nj * sub * 128
     x0 = jnp.asarray(rng.standard_normal((npad, d))).astype(jnp.bfloat16)
+    x0r = x0.reshape(nj, sub, lanes, d)
     want = jnp.dot(p4.reshape(n, npad)[rows], x0,
                    preferred_element_type=jnp.float32)
-    x0b3 = x0.reshape(nj, sub, 128, d)
-    got = fwd_one(p4, rows, x0b3, tr=tr)
-    err = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-9))
-    print(f"fwd_one correctness: {err:.2e}", flush=True)
+
+    def relerr(got):
+        return float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-9))
+
+    global D
+    D_saved = D
+    D = d
+    try:
+        print(f"fwd_loop:  {relerr(fwd_loop(p4, rows, x0, tr=tr)):.2e}", flush=True)
+        for name, fn in (("fwd_one2", fwd_one2), ("fwd_batch", fwd_batch)):
+            try:
+                print(f"{name}: {relerr(fn(p4, rows, x0r, tr=tr)):.2e}", flush=True)
+            except Exception as e:
+                print(f"{name}: {type(e).__name__}: {str(e)[:150]}", flush=True)
+    finally:
+        D = D_saved
 
 
 def main():
@@ -160,42 +275,38 @@ def main():
     key = jax.random.PRNGKey(0)
     kp, kr, kx = jax.random.split(key, 3)
     rows = jax.random.randint(kr, (R,), 0, N, dtype=jnp.int32)
-    x0b = jax.random.normal(kx, (NPAD, D), dtype=jnp.float32).astype(jnp.bfloat16)
+    x0 = jax.random.normal(kx, (NPAD, D), dtype=jnp.float32).astype(jnp.bfloat16)
     row_bytes = R * NPAD * 2
     flops = 2 * R * NPAD * D
 
     for nj in (4, 8):
-        p4 = jax.random.normal(
-            kp, (N, nj, NPAD // nj // 128, 128), dtype=jnp.bfloat16
-        )
-        x0b3 = x0b.reshape(nj, NPAD // nj // 128, 128, D)
-        try:
-            t = loop_time(
-                lambda s, pa, ra, xa: _fused_fwd(
-                    pa, ra + smin(s), xa, tr=128
-                )[0, 0] * 1e-20,
-                p4, rows, x0b,
-            )
-            print(f"prod fwd nj={nj} tr=128: {t:8.3f} ms  "
-                  f"{row_bytes/1e9/(t/1e3):6.1f} GB/s", flush=True)
-        except Exception as e:
-            print(f"prod fwd nj={nj}: {type(e).__name__}: {str(e)[:100]}",
-                  flush=True)
-        try:
-            t = loop_time(
-                lambda s, pa, ra, xa: fwd_one(
-                    pa, ra + smin(s), xa, tr=128
-                )[0, 0] * 1e-20,
-                p4, rows, x0b3,
-            )
-            print(f"fwd_one  nj={nj} tr=128: {t:8.3f} ms  "
-                  f"{row_bytes/1e9/(t/1e3):6.1f} GB/s", flush=True)
-        except Exception as e:
-            print(f"fwd_one nj={nj}: {type(e).__name__}: {str(e)[:100]}",
-                  flush=True)
+        sub = NPAD // nj // 128
+        p4 = jax.random.normal(kp, (N, nj, sub, 128), dtype=jnp.bfloat16)
+        x0r = x0.reshape(nj, sub, 128, D)
+        for tr in (128, 256):
+            if R % tr:
+                continue
+            cases = [("fwd_loop", fwd_loop, x0)]
+            cases += [("fwd_one2", fwd_one2, x0r), ("fwd_batch", fwd_batch, x0r)]
+            for name, fn, xarg in cases:
+                try:
+                    t = loop_time(
+                        lambda s, pa, ra, xa: fn(
+                            pa, ra + smin(s), xa, tr=tr
+                        ).ravel()[0] * 1e-20,
+                        p4, rows, xarg,
+                    )
+                    report(f"{name} nj={nj} tr={tr}", t, row_bytes, flops)
+                except Exception as e:
+                    print(f"{name} nj={nj} tr={tr}: {type(e).__name__}: "
+                          f"{str(e)[:110]}", flush=True)
         del p4
 
-    print(f"roofline: {row_bytes/1e9/HBM_GBPS*1e3:.2f} ms", flush=True)
+    print(
+        f"roofline: {row_bytes/1e9:.2f} GB/pass = "
+        f"{row_bytes/1e9/HBM_GBPS*1e3:.2f} ms @ {HBM_GBPS:.0f} GB/s",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
