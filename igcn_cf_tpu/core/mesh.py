@@ -97,8 +97,11 @@ def make_mesh(
     ``table = local_device_count`` within each host's ICI domain, and lays the
     device array out so each mesh row is one process's devices — table-axis
     collectives (rep all-gather, grad reduce-scatter) never cross DCN. Explicit
-    ``data``/``table`` overrides are honored as long as the table axis stays
-    within a host (table <= local_device_count or table % local == 0).
+    ``data``/``table`` overrides are honored as long as a table group never
+    straddles a host boundary: ``table`` must divide ``local_device_count``
+    (several ICI-only groups per host) or be a whole multiple of it (each
+    group spans whole hosts — heavy collectives then cross DCN, allowed only
+    as that explicit choice); anything else raises.
     """
     n_proc = jax.process_count()
     if devices is None and n_proc > 1:

@@ -209,6 +209,9 @@ class IDCF_LGCN(Model):
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
 
+    def make_recommend_fn(self, params, buffers):
+        return self._dot_recommend_fn(params, buffers)
+
     def rebuild_for(self, new_dataset):
         """dropit/dropui recipe: rebuild norm_adj + feat over the grown graph
         while n_old_users/items (and the frozen table) stay fixed (reference

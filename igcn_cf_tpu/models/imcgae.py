@@ -103,6 +103,9 @@ class IMCGAE(Model):
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
 
+    def make_recommend_fn(self, params, buffers):
+        return self._dot_recommend_fn(params, buffers)
+
     def grow_params(self, params, old_n_users, old_n_items):
         """dropui recipe: new personal rows get the mean of the old personal
         embeddings; the 3 shared role rows are preserved (reference

@@ -290,6 +290,9 @@ class IGCN(Model):
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
 
+    def make_recommend_fn(self, params, buffers):
+        return self._dot_recommend_fn(params, buffers)
+
     # -- inductive contract -------------------------------------------------
 
     def rebuild_for(self, new_dataset):

@@ -111,6 +111,9 @@ class LightGCN(Model):
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
 
+    def make_recommend_fn(self, params, buffers):
+        return self._dot_recommend_fn(params, buffers)
+
     def rebuild_for(self, new_dataset):
         """dropit recipe: rebuild norm_adj only (reference
         run/dropit/lgcn_dropit.py:33-35)."""

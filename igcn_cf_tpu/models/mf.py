@@ -40,3 +40,6 @@ class MF(Model):
 
     def make_predict_fn(self, params, buffers):
         return self._dot_predict_fn(params, buffers)
+
+    def make_recommend_fn(self, params, buffers):
+        return self._dot_recommend_fn(params, buffers)

@@ -138,6 +138,21 @@ class ShardedIGCNTrainer:
             lambda x: to_host_replicated(x, self.mesh), self.train_state.params
         )
 
+    @staticmethod
+    def _write_pickle(state: dict, path: str) -> None:
+        """Atomic single-writer checkpoint install: only process 0 writes
+        (every process still participates in the gather collectives BEFORE
+        this), and the tmp name is per-process so a misconfigured launch on a
+        shared filesystem can never interleave two writers into one tmp file
+        (ADVICE r3 #1)."""
+        if jax.process_index() != 0:
+            return
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the state
+
     def save(self, path: str):
         ts = self.train_state
         state = {
@@ -146,11 +161,7 @@ class ShardedIGCNTrainer:
             "item_map": ts.item_map,
             "alpha": float(np.asarray(ts.buffers["alpha"])),
         }
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(state, f)
-        os.replace(tmp, path)
+        self._write_pickle(state, path)
 
     def load(self, path: str):
         ts = self.train_state
@@ -186,11 +197,7 @@ class ShardedIGCNTrainer:
             "user_map": ts.user_map,
             "item_map": ts.item_map,
         }
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(state, f)
-        os.replace(tmp, path)  # atomic: a crash never corrupts the state
+        self._write_pickle(state, path)
         return path
 
     def load_state(self, path: Optional[str] = None) -> None:
@@ -232,8 +239,11 @@ class ShardedIGCNTrainer:
             start = time.time()
             loss = self.train_one_epoch()
             train_time = time.time() - start
-            # per-epoch train-split metric eval (reference trainer.py:71)
-            _, train_metrics = self.eval("train")
+            # per-epoch train-split metric eval (reference trainer.py:71) —
+            # only when someone will see it (ADVICE r3 #4: a headless
+            # benchmark run must not pay a full-catalog eval per epoch)
+            if writer is not None:
+                _, train_metrics = self.eval("train")
             if verbose:
                 print(
                     "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
@@ -267,7 +277,11 @@ class ShardedIGCNTrainer:
             ndcg = metrics["NDCG"][self.topks[0]]
             early_stop = False
             if ndcg > self.best_ndcg:
-                if self.save_path and os.path.exists(self.save_path):
+                if (
+                    jax.process_index() == 0
+                    and self.save_path
+                    and os.path.exists(self.save_path)
+                ):
                     os.remove(self.save_path)
                 self.save_path = os.path.join(
                     "checkpoints",
@@ -291,6 +305,14 @@ class ShardedIGCNTrainer:
                 if verbose:
                     print("Early stopping!")
                 break
-        if self.save_path:
+        # ADVICE r3 #2: after a resume, save_path can point at a best file
+        # deleted AFTER the restored state snapshot — skip the final reload
+        # instead of crashing (the in-memory params are the latest anyway)
+        if self.save_path and os.path.exists(self.save_path):
             self.load(self.save_path)
+        elif self.save_path and verbose:
+            print(
+                "Best checkpoint {:s} missing (deleted after the resumed "
+                "state snapshot); keeping in-memory params".format(self.save_path)
+            )
         return self.best_ndcg

@@ -117,7 +117,14 @@ class BasicTrainer:
     # -- evaluation ---------------------------------------------------------
 
     def eval(self, val_or_test: str, banned_items=None):
-        predict_fn = self.model.make_predict_fn(self.params, self.buffers)
+        # prefer the single-dispatch scan recommender; models without one
+        # fall back to the per-batch predict loop
+        recommend_fn = self.model.make_recommend_fn(self.params, self.buffers)
+        predict_fn = (
+            None
+            if recommend_fn is not None
+            else self.model.make_predict_fn(self.params, self.buffers)
+        )
         return evaluate(
             predict_fn,
             self.dataset,
@@ -125,6 +132,7 @@ class BasicTrainer:
             self.topks,
             banned_items=banned_items,
             test_batch_size=self.test_batch_size,
+            recommend_fn=recommend_fn,
         )
 
     def inductive_eval(self, n_old_users: int, n_old_items: int):
@@ -246,6 +254,14 @@ class BasicTrainer:
             if early_stop:
                 print("Early stopping!")
                 break
-        self.params = self.model.load(self.save_path)
-        self.buffers = self.model.refresh_buffers(self.buffers)
+        # ADVICE r3 #2: a resumed run whose best checkpoint was deleted after
+        # the restored state snapshot must not crash on the final reload
+        if self.save_path and os.path.exists(self.save_path):
+            self.params = self.model.load(self.save_path)
+            self.buffers = self.model.refresh_buffers(self.buffers)
+        elif self.save_path:
+            print(
+                "Best checkpoint {:s} missing (deleted after the resumed "
+                "state snapshot); keeping in-memory params".format(self.save_path)
+            )
         return self.best_ndcg
