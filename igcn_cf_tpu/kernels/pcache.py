@@ -169,7 +169,23 @@ def build_prop_cache(g: BipartiteDense, n_layers: int,
     accumulated in f32, written bf16 via a donated dynamic_update_slice (in
     place; the multi-GB buffer is never copied)."""
     n = g.n_users + g.n_items
-    npad = _pad_to(n, _ALIGN)
+    return build_prop_cache_cols(g, n_layers, 0, _pad_to(n, _ALIGN),
+                                 block=block)
+
+
+def build_prop_cache_cols(g: BipartiteDense, n_layers: int, col_start: int,
+                          col_width: int,
+                          block: int = BUILD_BLOCK) -> jnp.ndarray:
+    """Column window [col_start, col_start+col_width) of P in the slab
+    layout: an (n, NJ, col_width/NJ/128, 128) bf16 array. ``col_width`` must
+    be a multiple of ``_ALIGN``. This is the per-shard build of the SHARDED
+    propagation cache (parallel/pcache.py): P is symmetric, so shard t's
+    column slab P[:, ct] doubles as its row block P[ct, :]^T, and the fused
+    gather kernels run unchanged on the local slab. Columns >= n (padding)
+    propagate to zero."""
+    n = g.n_users + g.n_items
+    npad = col_width
+    assert npad % _ALIGN == 0, (npad, _ALIGN)
     assert npad % (GATHER_NJ * 128) == 0 and block == 128
     sub = npad // GATHER_NJ // 128
     inv = 1.0 / float(n_layers + 1)
@@ -189,7 +205,12 @@ def build_prop_cache(g: BipartiteDense, n_layers: int,
         for k in range(chunk):
             ck = c0 + k * block
             rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1) + ck
+            # ck indexes the LOCAL column window; the one-hot targets the
+            # GLOBAL node id col_start + ck
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
+                + ck + col_start
+            )
             # one-hot columns past n propagate to zero (no edges), so the
             # last partial block writes zeros there — harmless padding.
             x = (rows == cols).astype(jnp.float32)

@@ -1,0 +1,122 @@
+"""Sharded propagation cache — the fused cached-operator engine on a
+('data', 'table') mesh (round-4 VERDICT item #3).
+
+Single-chip, the propagation cache P = mean_{k=0..K} A^k (kernels/pcache.py)
+is the measured-fastest IGCN/LightGCN train engine, but P grows as n^2: at
+the Amazon-book shape it is ~41.5 GiB and correctly declines the 11 GiB
+single-chip budget (AMAZON_SCALE.json), forcing the slow recompute engine.
+Sharding P over the table axis brings the per-chip slab under budget
+(~5.2 GiB per chip on 8) and keeps the north-star config (INMO on
+Amazon-book with sharded tables, BASELINE.json configs[4]) on the fast
+engine.
+
+Layout: P is SYMMETRIC (A is), so shard t's column slab
+
+    P[:, ct]  (n, rows_per_shard)   ct = rows [t*rps, (t+1)*rps)
+
+is its node-row block transposed — and stored in the SAME
+(n, NJ, width/NJ/128, 128) slab layout the single-chip fused kernels
+stream, so both kernels run UNCHANGED per shard:
+
+    partial_t = P[rows, ct] @ X0[ct]      fused fwd on the local slab
+    reps      = psum_t(partial_t)         one (R, d) psum over 'table'
+    dX0[ct]   = P[rows, ct]^T @ d(reps)   fused bwd, shard-local, no
+                                          extra collective (psum's VJP
+                                          replicates d(reps))
+
+X0[ct] is exactly the shard-local output of the sharded feat aggregation
+(parallel/steps.py edge partition uses the same row blocks), padded with
+zero rows from rows_per_shard up to the _ALIGN'd slab width — the padding
+columns of P are built as zeros, so they contribute nothing.
+
+vs the recompute path (parallel/sharded.py): K edge-partitioned SpMMs with a
+d-wide all-gather per layer PLUS a full-table rep all-gather; the cached
+path touches only 3*batch rows of P per step and moves one (R, d) psum.
+
+Build: each shard's slab is a column window of P built independently
+(kernels/pcache.build_prop_cache_cols — same one-hot column-block
+propagation through the bit-packed engine), assembled host-side and
+device_put onto the mesh. Ref hot path being replaced:
+/root/reference/model.py:434-446.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from igcn_cf_tpu.core.mesh import TABLE_AXIS
+from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+from igcn_cf_tpu.kernels.pcache import (
+    _ALIGN,
+    GATHER_NJ,
+    PCACHE_BUDGET_BYTES,
+    build_prop_cache_cols,
+)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def shard_slab_width(rows_per_shard: int) -> int:
+    """Per-shard slab column width: the shard's node-row count padded to the
+    fused-kernel DMA alignment."""
+    return _pad_to(rows_per_shard, _ALIGN)
+
+
+def sharded_pcache_bytes_per_chip(n_users: int, n_items: int,
+                                  n_shards: int) -> int:
+    n = n_users + n_items
+    rps = _pad_to(n, n_shards) // n_shards
+    return n * shard_slab_width(rps) * 2
+
+
+def sharded_pcache_fits(n_users: int, n_items: int, n_shards: int,
+                        budget: int = PCACHE_BUDGET_BYTES) -> bool:
+    """Capacity gate for the sharded cache (per-chip slab vs the same HBM
+    budget the single-chip gate uses). The single-chip engine A/B measured
+    the fused cached step at ~8x the recompute step's throughput at the
+    flagship shape (BENCH_r04 init_ab_ms), and the sharded step only adds
+    one (R, d) psum on top of the same per-shard kernels, so capacity — not
+    a re-measured A/B, which would need real multi-chip hardware — gates the
+    sharded engine. tools/amazon_scale_check.py measures the per-shard
+    kernel piece at the Amazon shape on one real chip as the projection."""
+    return sharded_pcache_bytes_per_chip(
+        n_users, n_items, n_shards
+    ) <= budget
+
+
+def build_sharded_pcache(
+    bip: BipartiteDense,
+    mesh: Mesh,
+    n_layers: int,
+    rows_per_shard: int,
+) -> jnp.ndarray:
+    """Stacked sharded cache: a (T, n, NJ, width/NJ/128, 128) bf16 array with
+    the leading axis sharded over 'table' — shard t holds the column window
+    P[:, t*rows_per_shard : ...] in slab layout. ``rows_per_shard`` must
+    match the node-row partition of the sharded graph (parallel/sharded.py)
+    so X0's shard-local rows line up with the slab columns."""
+    n_shards = mesh.shape[TABLE_AXIS]
+    n = bip.n_users + bip.n_items
+    width = shard_slab_width(rows_per_shard)
+    sub = width // 128 // GATHER_NJ
+    sh = NamedSharding(mesh, P(TABLE_AXIS, None, None, None, None))
+    shape = (n_shards, n, GATHER_NJ, sub, 128)
+
+    # build lazily per ADDRESSABLE shard (multi-host builds only local
+    # blocks; a full host-side stack of P would defeat the sharding)
+    built: dict = {}
+
+    def cb(index):
+        t = index[0].start or 0
+        if t not in built:
+            built[t] = np.asarray(
+                build_prop_cache_cols(bip, n_layers, t * rows_per_shard, width)
+            )[None]
+        return built[t]
+
+    return jax.make_array_from_callback(shape, sh, cb)

@@ -89,11 +89,31 @@ def build_inmo_sharded_train(
     feature_ratio: float = 1.0,
     ranking_metric: str = "sort",
     delta: float = 0.99,
+    prop_cache="auto",
 ) -> ShardedINMOTrain:
     n_users, n_items = dataset.n_users, dataset.n_items
     n_shards = mesh.shape[TABLE_AXIS]
     data_size = mesh.shape[DATA_AXIS]
     assert batch_size % data_size == 0
+
+    # sharded propagation-cache gate (parallel/pcache.py): 'auto' = TPU with
+    # the per-chip slab in budget; True forces (CPU-mesh tests); False off.
+    # Training through the cache touches only 3*batch rows of P per step +
+    # one (R, d) psum, vs K all-gathered SpMM passes + a full-table rep
+    # all-gather on the recompute path.
+    from igcn_cf_tpu.parallel.pcache import (
+        build_sharded_pcache,
+        sharded_pcache_fits,
+    )
+
+    use_pcache = n_layers >= 1 and (
+        prop_cache is True
+        or (
+            prop_cache == "auto"
+            and jax.default_backend() == "tpu"
+            and sharded_pcache_fits(n_users, n_items, n_shards)
+        )
+    )
 
     # -- host graph builds, partitioned by destination row ------------------
     user_map, item_map = select_templates(
@@ -156,6 +176,13 @@ def build_inmo_sharded_train(
         "feat_live": jax.device_put(feat_live, tbl_edges),
         "alpha": jax.device_put(jnp.float32(1.0), repl),
     }
+    if use_pcache:
+        from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+
+        bip = BipartiteDense.build(dataset.train_array, n_users, n_items)
+        buffers["pcache"] = build_sharded_pcache(
+            bip, mesh, n_layers, adj_sh.rows_per_shard
+        )
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -170,8 +197,17 @@ def build_inmo_sharded_train(
     def _rep_local(emb_shard, adj_g, feat_g, feat_rowsum, feat_live, alpha, key):
         """Shard-local forward: annealed feat aggregation + K-layer mean
         propagation. ``key=None`` disables edge dropout (eval)."""
-        # annealed feat weights (reference model.py:374-377); padding edges
-        # have rowsum 0: guard the pow so 0^-0.5 never produces inf*0=NaN
+        x0_local = _x0_local(
+            emb_shard, feat_g, feat_rowsum, feat_live, alpha, key
+        )
+        return propagate_mean_local(
+            (adj_g["rows_local"], adj_g["cols"], adj_g["vals"]),
+            adj_rows_per_shard, x0_local, n_layers,
+        )
+
+    def _x0_local(emb_shard, feat_g, feat_rowsum, feat_live, alpha, key):
+        """Shard-local annealed feat aggregation (the X0 layer), with edge
+        dropout when ``key`` is given."""
         exponent = (alpha - 1.0) / 2.0 - 0.5
         vals = jnp.where(
             feat_live > 0.0,
@@ -181,27 +217,44 @@ def build_inmo_sharded_train(
         if dropout > 0.0 and key is not None:
             keep = jax.random.bernoulli(key, 1.0 - dropout, vals.shape)
             vals = jnp.where(keep, vals / (1.0 - dropout), 0.0)
-        x0_local = spmm_local(
+        return spmm_local(
             feat_g["rows_local"], feat_g["cols"], vals,
             feat_rows_per_shard, emb_shard,
-        )
-        return propagate_mean_local(
-            (adj_g["rows_local"], adj_g["cols"], adj_g["vals"]),
-            adj_rows_per_shard, x0_local, n_layers,
         )
 
     def loss_fn(params, buffers, batch, key):
         users, pos, neg, a_users, a_pos, a_neg = batch
 
         def f(emb_shard, w, adj_g, feat_g, feat_rowsum, feat_live, alpha,
-              users, pos, neg, a_users, a_pos, a_neg, key):
-            rep_local = _rep_local(
-                emb_shard, adj_g, feat_g, feat_rowsum, feat_live, alpha, key
-            )
-            rep = jax.lax.all_gather(rep_local, TABLE_AXIS, axis=0, tiled=True)
-            u = rep[users]
-            p = rep[n_users + pos]
-            n_ = rep[n_users + neg]
+              users, pos, neg, a_users, a_pos, a_neg, key, *p4):
+            if use_pcache:
+                # cached engine: X0 shard-local, then the fused
+                # gather+matmul over the LOCAL column slab of P for just the
+                # 3*batch rows, psum'd over 'table' (parallel/pcache.py).
+                # The bwd kernel hands each shard its local dX0 directly.
+                from igcn_cf_tpu.kernels.pcache import cached_prop
+
+                x0_local = _x0_local(
+                    emb_shard, feat_g, feat_rowsum, feat_live, alpha, key
+                )
+                rows = jnp.concatenate(
+                    [users, n_users + pos, n_users + neg]
+                ).astype(jnp.int32)
+                partial = cached_prop(p4[0][0], rows, x0_local)
+                reps3 = jax.lax.psum(partial, TABLE_AXIS)
+                b = users.shape[0]
+                u, p, n_ = reps3[:b], reps3[b : 2 * b], reps3[2 * b :]
+            else:
+                rep_local = _rep_local(
+                    emb_shard, adj_g, feat_g, feat_rowsum, feat_live, alpha,
+                    key,
+                )
+                rep = jax.lax.all_gather(
+                    rep_local, TABLE_AXIS, axis=0, tiled=True
+                )
+                u = rep[users]
+                p = rep[n_users + pos]
+                n_ = rep[n_users + neg]
             pos_s = jnp.sum(u * p, axis=1)
             neg_s = jnp.sum(u * n_, axis=1)
             bpr = jnp.mean(jax.nn.softplus(neg_s - pos_s))
@@ -223,24 +276,29 @@ def build_inmo_sharded_train(
             loss = bpr + l2_reg * l2 + aux_reg * aux
             return jax.lax.pmean(loss, DATA_AXIS)
 
-        return jax.shard_map(
-            f,
-            mesh=mesh,
-            in_specs=(
-                P(TABLE_AXIS, None), P(),
-                graph_spec, graph_spec, edge_spec, edge_spec, P(),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(),
-            ),
-            out_specs=P(),
-            check_vma=False,
-        )(
+        specs = [
+            P(TABLE_AXIS, None), P(),
+            graph_spec, graph_spec, edge_spec, edge_spec, P(),
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+            P(),
+        ]
+        args = [
             params["embedding"], params["w"],
             buffers["adj"], buffers["feat"],
             buffers["feat_rowsum"], buffers["feat_live"], buffers["alpha"],
             users, pos, neg, a_users, a_pos, a_neg, key,
-        )
+        ]
+        if use_pcache:
+            specs.append(P(TABLE_AXIS, None, None, None, None))
+            args.append(buffers["pcache"])
+        return jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=P(),
+            check_vma=False,
+        )(*args)
 
     def _update(params, opt_state, grads):
         updates, opt_state = opt.update(grads, opt_state, params)

@@ -87,6 +87,7 @@ class ShardedIGCNTrainer:
             feature_ratio=model_config.get("feature_ratio", 1.0),
             ranking_metric=model_config.get("ranking_metric", "sort"),
             delta=model_config.get("delta", 0.99),
+            prop_cache=model_config.get("prop_cache", "auto"),
         )
         self._key = jax.random.PRNGKey(self.seed + 1)
 

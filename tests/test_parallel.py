@@ -216,3 +216,86 @@ def test_dense_sharded_inmo_with_dropout(mesh, tiny_ds):
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert not np.allclose(np.asarray(params["emb_u"]), before)
+
+
+def test_sharded_pcache_build_matches_oracle(mesh, tiny_ds):
+    """Each shard's column slab of the sharded propagation cache
+    (parallel/pcache.py) reassembles to the dense oracle P."""
+    from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+    from igcn_cf_tpu.kernels.pcache import prop_cache_oracle
+    from igcn_cf_tpu.parallel.pcache import build_sharded_pcache
+    from igcn_cf_tpu.parallel.sharded import ShardedGraph
+    from igcn_cf_tpu.graph.build import sym_norm_adjacency
+
+    n = tiny_ds.n_users + tiny_ds.n_items
+    n_shards = mesh.shape[TABLE_AXIS]
+    adj = sym_norm_adjacency(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items
+    )
+    rps = ShardedGraph.from_coo(adj, n_shards).rows_per_shard
+    bip = BipartiteDense.build(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items
+    )
+    p4 = build_sharded_pcache(bip, mesh, 2, rps)
+    assert p4.shape[0] == n_shards and p4.shape[1] == n
+
+    oracle = prop_cache_oracle(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items, 2
+    )
+    stacked = np.asarray(p4, dtype=np.float32)
+    t_, n_, nj, sub, lanes = stacked.shape
+    width = nj * sub * lanes
+    full = np.concatenate(
+        [stacked[t].reshape(n_, width)[:, :rps] for t in range(n_shards)],
+        axis=1,
+    )
+    np.testing.assert_allclose(full[:, :n], oracle, atol=8e-3)
+    # padding columns (>= n globally, and per-shard beyond rps) are zero
+    assert not full[:, n:].any()
+
+
+def test_sharded_pcache_step_matches_recompute(mesh, tiny_ds):
+    """The cached sharded engine (fused gather over local P slabs + psum)
+    must reproduce the recompute engine's loss and parameter trajectory to
+    bf16-storage tolerance — same seeds, no dropout."""
+
+    def build(prop_cache):
+        return build_inmo_sharded_train(
+            tiny_ds, mesh, embedding_size=8, n_layers=2, dropout=0.0,
+            lr=1e-2, l2_reg=0.1, aux_reg=0.01, batch_size=64, seed=7,
+            prop_cache=prop_cache,
+        )
+
+    t_cache = build(True)
+    t_rec = build(False)
+    assert "pcache" in t_cache.buffers and "pcache" not in t_rec.buffers
+
+    rng = np.random.default_rng(3)
+    batches = [make_batch(mesh, rng, tiny_ds, 64) for _ in range(3)]
+    pc, oc = t_cache.params, t_cache.opt_state
+    pr, orr = t_rec.params, t_rec.opt_state
+    for i, batch in enumerate(batches):
+        key = jax.random.PRNGKey(i)
+        pc, oc, loss_c = t_cache.step(pc, oc, t_cache.buffers, batch, key)
+        pr, orr, loss_r = t_rec.step(pr, orr, t_rec.buffers, batch, key)
+        np.testing.assert_allclose(
+            float(loss_c), float(loss_r), rtol=2e-2, atol=2e-2
+        )
+    ec = np.asarray(pc["embedding"])
+    er = np.asarray(pr["embedding"])
+    scale = np.abs(er).max() + 1e-6
+    np.testing.assert_allclose(ec / scale, er / scale, atol=3e-2)
+
+
+def test_sharded_pcache_epoch_fn_runs(mesh, tiny_ds):
+    """The device-side-sampling epoch path compiles and runs through the
+    cached engine (what dryrun_multichip exercises)."""
+    train = build_inmo_sharded_train(
+        tiny_ds, mesh, embedding_size=8, n_layers=2, dropout=0.1,
+        lr=1e-2, aux_reg=0.01, batch_size=64, prop_cache=True,
+    )
+    params, opt_state, loss = train.epoch_fn(
+        train.params, train.opt_state, train.buffers, train.samplers,
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
