@@ -142,16 +142,12 @@ def run_dropui(dataset_config, model_config, trainer_config, writer=None,
     return out
 
 
-def train_eval_sharded(dataset_config, model_config, trainer_config, *,
-                       data=1, table=None, log_dir=None, verbose=True):
-    """Multi-chip transductive flow: the reference run/run.py loop with the
-    sharded INMO trainer (parallel/trainer.py) over a ('data','table') mesh.
-    Requires an IGCN/IMF model config (the sharded engine is INMO-specific)."""
+def _sharded_trainer(dataset_config, model_config, trainer_config, data,
+                     table):
     import jax
 
     from igcn_cf_tpu.core.mesh import initialize_distributed, make_mesh
     from igcn_cf_tpu.parallel.trainer import ShardedIGCNTrainer
-    from igcn_cf_tpu.utils.logging import MetricsWriter
 
     if model_config["name"] not in ("IGCN", "IMF"):
         raise ValueError(
@@ -162,9 +158,89 @@ def train_eval_sharded(dataset_config, model_config, trainer_config, *,
     dataset = get_dataset(dataset_config)
     if model_config["name"] == "IMF":
         model_config = dict(model_config, n_layers=0)
+    return ShardedIGCNTrainer(trainer_config, dataset, mesh, model_config)
+
+
+def train_eval_sharded(dataset_config, model_config, trainer_config, *,
+                       data=1, table=None, log_dir=None, verbose=True):
+    """Multi-chip transductive flow: the reference run/run.py loop with the
+    sharded INMO trainer (parallel/trainer.py) over a ('data','table') mesh.
+    Requires an IGCN/IMF model config (the sharded engine is INMO-specific)."""
+    from igcn_cf_tpu.utils.logging import MetricsWriter
+
     writer = MetricsWriter(log_dir) if log_dir else None
-    trainer = ShardedIGCNTrainer(trainer_config, dataset, mesh, model_config)
+    trainer = _sharded_trainer(
+        dataset_config, model_config, trainer_config, data, table
+    )
     trainer.train(verbose=verbose, writer=writer)
     results, metrics = trainer.eval("test")
     print("Test result. {:s}".format(results))
     return trainer, metrics
+
+
+def run_dropit_sharded(dataset_config, model_config, trainer_config, *,
+                       data=1, table=None, verbose=True):
+    """dropit on the mesh (reference run/dropit/igcn_dropit.py:10-41 through
+    the sharded trainer): train on the reduced-interaction split, evaluate
+    the full split with stale structures, then after a sharded rebuild."""
+    trainer = _sharded_trainer(
+        dataset_config, model_config, trainer_config, data, table
+    )
+    trainer.train(verbose=verbose, writer=None)
+
+    full_config = dict(dataset_config)
+    assert full_config["path"].endswith("_dropit")
+    full_config["path"] = full_config["path"][: -len("_dropit")]
+    new_dataset = get_dataset(full_config)
+
+    # 1) stale structures: only interactions grew; keep old graph buffers
+    trainer.dataset = new_dataset
+    results, prev_metrics = trainer.eval("test")
+    print("Previous interactions test result. {:s}".format(results))
+
+    # 2) sharded rebuild over the new interactions (templates/params kept)
+    trainer.rebuild_for(new_dataset)
+    results, upd_metrics = trainer.eval("test")
+    print("Updated interactions test result. {:s}".format(results))
+    return {"previous": prev_metrics, "updated": upd_metrics}
+
+
+def run_dropui_sharded(dataset_config, model_config, trainer_config, *,
+                       data=1, table=None, verbose=True,
+                       compare_popularity=True):
+    """dropui on the mesh (reference run/dropui/igcn_dropui.py:10-48): train
+    on the 80%-users/items split, rebuild the sharded structures over the
+    full split (new users/items get feat rows over the OLD templates, zero
+    new parameters), then the 6-slice sharded ``inductive_eval``; optional
+    Popularity floor (single-chip — it has no trainable state)."""
+    trainer = _sharded_trainer(
+        dataset_config, model_config, trainer_config, data, table
+    )
+    trainer.train(verbose=verbose, writer=None)
+    old_n_users = trainer.dataset.n_users
+    old_n_items = trainer.dataset.n_items
+
+    full_config = dict(dataset_config)
+    assert full_config["path"].endswith("_dropui")
+    full_config["path"] = full_config["path"][: -len("_dropui")]
+    new_dataset = get_dataset(full_config)
+
+    trainer.rebuild_for(new_dataset)
+    print("Inductive results.")
+    out = {"inductive": trainer.inductive_eval(old_n_users, old_n_items)}
+
+    if compare_popularity:
+        pop = get_model({"name": "Popularity"}, new_dataset)
+        pop_trainer = get_trainer(
+            {
+                "name": "BasicTrainer",
+                "n_epochs": 0,
+                "test_batch_size": trainer_config.get("test_batch_size", 512),
+                "topks": trainer_config["topks"],
+            },
+            new_dataset,
+            pop,
+        )
+        print("Popularity model results.")
+        out["popularity"] = pop_trainer.inductive_eval(old_n_users, old_n_items)
+    return out

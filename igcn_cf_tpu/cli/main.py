@@ -76,23 +76,31 @@ def cmd_run(args):
 
 
 def cmd_dropit(args):
-    from igcn_cf_tpu.cli.flows import run_dropit
+    from igcn_cf_tpu.cli.flows import run_dropit, run_dropit_sharded
 
     set_seed(args.seed)
     dc, mc, tc = _select(args)
     if not dc["path"].endswith("_dropit"):
         dc["path"] += "_dropit"
+    if getattr(args, "mesh", None):
+        data, table = (int(x) for x in args.mesh.lower().split("x"))
+        run_dropit_sharded(dc, mc, tc, data=data, table=table)
+        return
     writer = MetricsWriter(args.log_dir) if args.log_dir else None
     run_dropit(dc, mc, tc, writer=writer)
 
 
 def cmd_dropui(args):
-    from igcn_cf_tpu.cli.flows import run_dropui
+    from igcn_cf_tpu.cli.flows import run_dropui, run_dropui_sharded
 
     set_seed(args.seed)
     dc, mc, tc = _select(args)
     if not dc["path"].endswith("_dropui"):
         dc["path"] += "_dropui"
+    if getattr(args, "mesh", None):
+        data, table = (int(x) for x in args.mesh.lower().split("x"))
+        run_dropui_sharded(dc, mc, tc, data=data, table=table)
+        return
     writer = MetricsWriter(args.log_dir) if args.log_dir else None
     run_dropui(
         dc,
@@ -187,10 +195,16 @@ def build_parser():
 
     sp = sub.add_parser("dropit", help="inductive new-interaction protocol")
     common(sp)
+    sp.add_argument("--mesh", default=None, metavar="DxT",
+                    help="run the dropit protocol sharded over a data x "
+                         "table device mesh (IGCN/IMF), e.g. --mesh 2x4")
     sp.set_defaults(fn=cmd_dropit)
 
     sp = sub.add_parser("dropui", help="inductive new-user/item protocol")
     common(sp)
+    sp.add_argument("--mesh", default=None, metavar="DxT",
+                    help="run the dropui protocol sharded over a data x "
+                         "table device mesh (IGCN/IMF), e.g. --mesh 2x4")
     sp.add_argument("--compare-transductive", default=None,
                     help="checkpoint of a transductively trained model")
     sp.set_defaults(fn=cmd_dropui)

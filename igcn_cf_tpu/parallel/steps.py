@@ -90,7 +90,12 @@ def build_inmo_sharded_train(
     ranking_metric: str = "sort",
     delta: float = 0.99,
     prop_cache="auto",
+    template_maps=None,
 ) -> ShardedINMOTrain:
+    """``template_maps=(user_map, item_map)`` reuses EXISTING template maps
+    instead of re-selecting them — the inductive rebuild contract (reference
+    model.py:454-466): new users/items get feat rows over the OLD templates,
+    zero new parameters."""
     n_users, n_items = dataset.n_users, dataset.n_items
     n_shards = mesh.shape[TABLE_AXIS]
     data_size = mesh.shape[DATA_AXIS]
@@ -116,9 +121,12 @@ def build_inmo_sharded_train(
     )
 
     # -- host graph builds, partitioned by destination row ------------------
-    user_map, item_map = select_templates(
-        dataset.train_array, n_users, n_items, feature_ratio, ranking_metric
-    )
+    if template_maps is not None:
+        user_map, item_map = template_maps
+    else:
+        user_map, item_map = select_templates(
+            dataset.train_array, n_users, n_items, feature_ratio, ranking_metric
+        )
     n_core_users = len(user_map)
     adj = sym_norm_adjacency(dataset.train_array, n_users, n_items)
     feat = build_feat_mat(dataset.train_array, n_users, n_items, user_map, item_map)

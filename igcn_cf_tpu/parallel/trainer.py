@@ -72,6 +72,7 @@ class ShardedIGCNTrainer:
         )
         self.name = "ShardedIGCNTrainer"
         self.model_name = model_config.get("name", "IGCN")
+        self.model_config = dict(model_config)
 
         self.train_state: ShardedINMOTrain = build_inmo_sharded_train(
             dataset,
@@ -131,6 +132,57 @@ class ShardedIGCNTrainer:
             banned_items=banned_items,
             test_batch_size=self.test_batch_size,
         )
+
+    def inductive_eval(self, n_old_users: int, n_old_items: int):
+        """6-slice inductive protocol (reference trainer.py:179-219) through
+        the sharded evaluator — the generic slicer only needs
+        ``eval(split, banned_items)`` and a swappable ``dataset``."""
+        from igcn_cf_tpu.evaluation.inductive import inductive_eval
+
+        return inductive_eval(self, n_old_users, n_old_items)
+
+    # -- inductive rebuild (dropit/dropui on the mesh) ------------------------
+
+    def rebuild_for(self, new_dataset) -> None:
+        """Rebuild the sharded train state over a new (possibly grown)
+        dataset while KEEPING the template maps and parameters — the
+        inductive contract (reference model.py:454-466 via
+        run/dropui/igcn_dropui.py:29-35): new users/items get feat rows over
+        the OLD templates, zero new parameters. Optimizer state is reset
+        (the flows only evaluate after a rebuild, matching the reference)."""
+        ts = self.train_state
+        old_params = ts.params
+        alpha = float(np.asarray(ts.buffers["alpha"]))
+        mc, tc = self.model_config, self.config
+        self.train_state = build_inmo_sharded_train(
+            new_dataset,
+            self.mesh,
+            embedding_size=mc["embedding_size"],
+            n_layers=mc["n_layers"],
+            dropout=mc.get("dropout", 0.0),
+            lr=tc["lr"],
+            l2_reg=tc.get("l2_reg", 0.0),
+            aux_reg=tc.get("aux_reg", 0.0),
+            batch_size=self.batch_size,
+            seed=self.seed,
+            feature_ratio=mc.get("feature_ratio", 1.0),
+            ranking_metric=mc.get("ranking_metric", "sort"),
+            delta=mc.get("delta", 0.99),
+            prop_cache=mc.get("prop_cache", "auto"),
+            template_maps=(ts.user_map, ts.item_map),
+        )
+        # same template space -> same table shape: carry the params over
+        # (re-put against the fresh shardings) and the annealed alpha
+        nts = self.train_state
+        nts.params = jax.tree_util.tree_map(
+            lambda new, old: jax.device_put(old, new.sharding),
+            nts.params,
+            old_params,
+        )
+        # opt_state stays the freshly-initialized zeros: rebuilt flows
+        # evaluate (reference protocol); continued training restarts Adam
+        nts.buffers = dict(nts.buffers, alpha=jnp.float32(alpha))
+        self.dataset = new_dataset
 
     # -- checkpointing --------------------------------------------------------
 
