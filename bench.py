@@ -214,23 +214,47 @@ def main():
         lambda: float(probe(rep_fn(trainer.params, trainer.buffers)))
     )
     rec_fn = model.make_recommend_fn(trainer.params, trainer.buffers)
-    t_rec_total = timed(
-        lambda: recommend(None, ds, "val", [20], test_batch_size=512,
-                          recommend_fn=rec_fn)
-    )  # rep dispatch + scan (score/mask/topk) + (n_users, k) D2H
-    rec = recommend(None, ds, "val", [20], test_batch_size=512,
-                    recommend_fn=rec_fn)
-    t_metrics = timed(lambda: calculate_metrics(ds.val, rec, [20]))
-    ds._exclusion_cache = None
-    t0 = time.time()
-    build_exclusion(ds, include_val=False)
-    t_excl = time.time() - t0
-    eval_breakdown = {
-        "rep_ms": round(t_rep * 1e3, 1),
-        "scan_topk_d2h_ms": round(max(t_rec_total - t_rep, 0.0) * 1e3, 1),
-        "host_metrics_ms": round(t_metrics * 1e3, 1),
-        "exclusion_build_first_eval_ms": round(t_excl * 1e3, 1),
-    }
+    if getattr(rec_fn, "wants_packed", False):
+        # fused-kernel path (kernels/retrieval.py + device metrics)
+        from igcn_cf_tpu.evaluation.evaluate import _recommend_packed_dev
+        from igcn_cf_tpu.evaluation.metrics import calculate_metrics_device
+
+        t_retr = timed(
+            lambda: float(
+                probe(_recommend_packed_dev(rec_fn, ds, "val", None, 20))
+            )
+        )
+        rec_dev = _recommend_packed_dev(rec_fn, ds, "val", None, 20)
+        t_metrics = timed(
+            lambda: calculate_metrics_device(
+                rec_dev, ds.val, [20], cache_on=ds, cache_key="val"
+            )
+        )
+        eval_breakdown = {
+            "path": "fused_kernel",
+            "rep_ms": round(t_rep * 1e3, 1),
+            "fused_score_mask_topk_ms": round(t_retr * 1e3, 1),
+            "device_metrics_ms": round(t_metrics * 1e3, 1),
+        }
+    else:
+        t_rec_total = timed(
+            lambda: recommend(None, ds, "val", [20], test_batch_size=512,
+                              recommend_fn=rec_fn)
+        )  # rep dispatch + scan (score/mask/topk) + (n_users, k) D2H
+        rec = recommend(None, ds, "val", [20], test_batch_size=512,
+                        recommend_fn=rec_fn)
+        t_metrics = timed(lambda: calculate_metrics(ds.val, rec, [20]))
+        ds._exclusion_cache = None
+        t0 = time.time()
+        build_exclusion(ds, include_val=False)
+        t_excl = time.time() - t0
+        eval_breakdown = {
+            "path": "scan",
+            "rep_ms": round(t_rep * 1e3, 1),
+            "scan_topk_d2h_ms": round(max(t_rec_total - t_rep, 0.0) * 1e3, 1),
+            "host_metrics_ms": round(t_metrics * 1e3, 1),
+            "exclusion_build_first_eval_ms": round(t_excl * 1e3, 1),
+        }
     print(
         f"# eval {ds.n_users} users in {eval_dt:.2f}s ({eval_users_per_s:,.0f}"
         f" users/s; roofline floor ~{eval_floor_users_per_s:,.0f}; "

@@ -62,6 +62,15 @@ class Interactions:
             val=val if val is not None else self.val,
             test=test if test is not None else self.test,
         )
+        # exclusion masks depend only on train(+val): carry the evaluator's
+        # device caches to the derived dataset when those splits are shared
+        # (the 6-slice inductive protocol swaps only `test` per slice —
+        # rebuilding/re-uploading the packed masks per slice costs seconds)
+        if train is None and val is None:
+            for attr in ("_exclusion_cache", "_exclusion_dev_cache",
+                         "_packed_excl_cache"):
+                if hasattr(self, attr):
+                    setattr(out, attr, getattr(self, attr))
         return out
 
     # -- output in the reference text format --------------------------------

@@ -116,6 +116,52 @@ _mask_and_topk = jax.jit(
 )
 
 
+def _packed_exclusion_dev(ds, split: str, nup: int, nip: int):
+    """Device-resident packed exclusion words for the fused retrieval
+    kernel, cached per dataset+split (host packing costs seconds at 30k+
+    users; train-split exclusion is empty and skips packing)."""
+    from igcn_cf_tpu.kernels.retrieval import pack_exclusion_words
+
+    cache = getattr(ds, "_packed_excl_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            ds._packed_excl_cache = cache
+        except AttributeError:
+            pass
+    key = (split != "train", split == "test", nup, nip)
+    words = cache.get(key)
+    if words is None:
+        if split == "train":
+            words_np = np.zeros((nup, nip // 32), dtype=np.uint32)
+        else:
+            lists = [list(ds.train[u]) for u in range(ds.n_users)]
+            if split == "test":
+                lists = [a + list(b) for a, b in zip(lists, ds.val)]
+            lists += [[] for _ in range(nup - ds.n_users)]
+            words_np = pack_exclusion_words(lists, nup, ds.n_items, nip)
+        words = cache[key] = jnp.asarray(words_np)
+    return words
+
+
+def _recommend_packed_dev(recommend_fn, ds, split, banned_items, max_k):
+    """Fused-kernel path (kernels/retrieval.py): packed exclusion words
+    cached device-resident per dataset+split; the banned/pad score row is
+    tiny and rebuilt per call (inductive slices vary it). Returns the
+    (n_users, max_k) recommendation ids ON DEVICE (evaluate keeps them there
+    for the device-side metrics; recommend() pulls them to host)."""
+    from igcn_cf_tpu.kernels.retrieval import NEG
+
+    nup, nip = recommend_fn.geometry
+    words_dev = _packed_exclusion_dev(ds, split, nup, nip)
+    banned_row = np.zeros((1, nip), np.float32)
+    if banned_items is not None:
+        banned_row[0, np.asarray(banned_items, dtype=np.int64)] = NEG
+    banned_row[0, ds.n_items:] = NEG
+    rec_dev = recommend_fn(words_dev, jnp.asarray(banned_row), max_k)
+    return rec_dev[: ds.n_users]
+
+
 def pad_user_blocks(
     n_users: int, block: int
 ) -> np.ndarray:
@@ -162,6 +208,13 @@ def recommend(
     """
     n_users, n_items = ds.n_users, ds.n_items
     max_k = max(topks)
+
+    if recommend_fn is not None and getattr(recommend_fn, "wants_packed", False):
+        rec_dev = _recommend_packed_dev(
+            recommend_fn, ds, split, banned_items, max_k
+        )
+        return np.asarray(rec_dev).astype(np.int64)
+
     exclude_np, banned_mask_np = _eval_inputs(ds, split, banned_items)
     banned_mask = jnp.asarray(banned_mask_np)
 
@@ -216,6 +269,18 @@ def evaluate(
     """Returns (formatted_results_str, metrics dict) like the reference
     ``BasicTrainer.eval`` (reference trainer.py:140-177)."""
     eval_data: List[List[int]] = getattr(ds, split)
+    if recommend_fn is not None and getattr(recommend_fn, "wants_packed", False):
+        # fused path: keep the recommendations on device and reduce the
+        # metrics there too — only len(topks)*3 scalars travel D2H
+        from igcn_cf_tpu.evaluation.metrics import calculate_metrics_device
+
+        rec_dev = _recommend_packed_dev(
+            recommend_fn, ds, split, banned_items, max(topks)
+        )
+        metrics = calculate_metrics_device(
+            rec_dev, eval_data, topks, cache_on=ds, cache_key=split
+        )
+        return format_metrics(metrics, topks), metrics
     rec = recommend(
         predict_fn, ds, split, topks, banned_items, test_batch_size,
         recommend_fn=recommend_fn,

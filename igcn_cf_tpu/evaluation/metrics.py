@@ -111,6 +111,102 @@ def calculate_metrics_slow(
     return results
 
 
+def _pad_eval_device(eval_data: List[List[int]]):
+    """(padded (n, W) int32 with -1 sentinel, lens (n,) int32) as numpy —
+    the device-metrics inputs (cached per dataset+split by the caller)."""
+    n = len(eval_data)
+    width = max(1, max((len(e) for e in eval_data), default=1))
+    out = np.full((n, width), -1, dtype=np.int32)
+    lens = np.zeros(n, dtype=np.int32)
+    for u, items in enumerate(eval_data):
+        if items:
+            out[u, : len(items)] = np.asarray(items, dtype=np.int32)
+            lens[u] = len(items)
+    return out, lens
+
+
+def _device_metrics_jit_factory():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("topks",))
+    def f(rec, padded, lens, *, topks):
+        # hit[u, j] = rec[u, j] in eval set u (sentinel -1 never matches)
+        hits = (
+            (rec[:, :, None] == padded[:, None, :]).any(-1).astype(jnp.float32)
+        )
+        out = []
+        for k in topks:
+            hk = hits[:, :k]
+            hit_num = hk.sum(1)
+            max_hit = jnp.minimum(lens, k).astype(jnp.float32)
+            mask = (max_hit > 0).astype(jnp.float32)
+            msum = jnp.maximum(mask.sum(), 1.0)
+            denom = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+            dcg = (hk * denom[None, :]).sum(1)
+            ones = (
+                jnp.arange(k, dtype=jnp.float32)[None, :] < max_hit[:, None]
+            ).astype(jnp.float32)
+            idcg = (ones * denom[None, :]).sum(1)
+            ndcg = dcg / jnp.maximum(idcg, 1e-9)
+            recall = hit_num / jnp.maximum(lens.astype(jnp.float32), 1.0)
+            out += [
+                (hit_num / k * mask).sum() / msum,
+                (recall * mask).sum() / msum,
+                (ndcg * mask).sum() / msum,
+            ]
+        return jnp.stack(out)
+
+    return f
+
+
+_device_metrics_jit = None
+
+
+def calculate_metrics_device(
+    rec_dev, eval_data: List[List[int]], topks: Sequence[int], cache_on=None,
+    cache_key=None,
+) -> Dict[str, Dict[int, float]]:
+    """calculate_metrics with the hit matrix and reductions ON DEVICE —
+    ``rec_dev`` is a device array and only len(topks)*3 scalars travel D2H.
+    Same numerics as the numpy path (asserted in tests). The padded eval
+    matrix is cacheable via (cache_on, cache_key)."""
+    import jax.numpy as jnp
+
+    global _device_metrics_jit
+    if _device_metrics_jit is None:
+        _device_metrics_jit = _device_metrics_jit_factory()
+
+    dev = None
+    cache = None
+    if cache_on is not None:
+        cache = getattr(cache_on, "_eval_pad_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                cache_on._eval_pad_cache = cache
+            except AttributeError:
+                cache = None
+        if cache is not None:
+            dev = cache.get(cache_key)
+    if dev is None:
+        padded_np, lens_np = _pad_eval_device(eval_data)
+        dev = (jnp.asarray(padded_np), jnp.asarray(lens_np))
+        if cache is not None:
+            cache[cache_key] = dev
+    padded, lens = dev
+    flat = np.asarray(
+        _device_metrics_jit(rec_dev, padded, lens, topks=tuple(topks))
+    )
+    results: Dict[str, Dict[int, float]] = {"Precision": {}, "Recall": {}, "NDCG": {}}
+    for i, k in enumerate(topks):
+        results["Precision"][k] = float(flat[3 * i])
+        results["Recall"][k] = float(flat[3 * i + 1])
+        results["NDCG"][k] = float(flat[3 * i + 2])
+    return results
+
+
 def format_metrics(metrics: Dict[str, Dict[int, float]], topks: Sequence[int]) -> str:
     """Reference-format result string (reference trainer.py:169-177)."""
     parts = {"Precision": "", "Recall": "", "NDCG": ""}

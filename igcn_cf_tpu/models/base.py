@@ -121,8 +121,14 @@ class Model:
         whole masked top-k retrieval runs as ONE jitted ``lax.scan`` over
         user blocks — one dispatch, one D2H of the (n_users, max_k) ids.
         Replaces ~n_users/512 sequential dispatches, each of which pays a
-        tunnel round-trip on the remote-TPU platform (VERDICT r3 weak #2)."""
+        tunnel round-trip on the remote-TPU platform (VERDICT r3 weak #2).
+
+        On a real TPU with a large catalog, the scan is replaced by the
+        fused Pallas score+mask+top-k kernel (kernels/retrieval.py), which
+        never materializes the score matrix in HBM (~12x the scan's
+        score/scatter/top_k piece)."""
         from igcn_cf_tpu.evaluation.evaluate import mask_topk_core
+        from igcn_cf_tpu.kernels.retrieval import use_fused_retrieval
 
         rep_fn = self._get_jit(
             "rep_eval", lambda: (lambda p, b: self.rep(p, b, train=False, key=None))
@@ -131,6 +137,8 @@ class Model:
         users_rep = rep[: self.n_users]
         items_t = rep[self.n_users :].T
         n_items = self.n_items
+        if use_fused_retrieval(n_items):
+            return self._fused_recommend_fn(users_rep, items_t)
 
         def make():
             def scan_rec(ur, it, users_pad, exclude, banned_mask, *, max_k):
@@ -149,6 +157,35 @@ class Model:
         return lambda users_pad, exclude, banned_mask, max_k: fn(
             users_rep, items_t, users_pad, exclude, banned_mask, max_k=max_k
         )
+
+    def _fused_recommend_fn(self, users_rep, items_t):
+        """Wrap the fused retrieval kernel: pad reps to the kernel grid and
+        expose ``fn(excl_words, banned_row, max_k) -> (n_users_pad, max_k)``.
+        The ``wants_packed`` attribute tells the evaluator to supply packed
+        exclusion words + a banned/pad score row instead of the scan path's
+        id-list matrix (evaluation/evaluate.py builds and caches them)."""
+        from igcn_cf_tpu.kernels.retrieval import BU, LI, fused_topk_ids
+
+        pad_fn = self._get_jit(
+            "fused_rec_pad",
+            lambda: (
+                lambda ur, it, nup, nip: (
+                    jnp.zeros((nup, ur.shape[1]), ur.dtype).at[: ur.shape[0]].set(ur),
+                    jnp.zeros((it.shape[0], nip), it.dtype).at[:, : it.shape[1]].set(it),
+                )
+            ),
+            static_argnames=("nup", "nip"),
+        )
+        nup = -(-self.n_users // BU) * BU
+        nip = -(-self.n_items // LI) * LI
+        up, itp = pad_fn(users_rep, items_t, nup=nup, nip=nip)
+
+        def fn(excl_words, banned_row, max_k):
+            return fused_topk_ids(up, itp, excl_words, banned_row, k=max_k)
+
+        fn.wants_packed = True
+        fn.geometry = (nup, nip)
+        return fn
 
     def make_recommend_fn(self, params: Params, buffers: Buffers):
         """Optional single-dispatch full-eval recommender

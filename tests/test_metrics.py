@@ -3,6 +3,7 @@ oracle, plus masked top-k retrieval behavior."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from igcn_cf_tpu.evaluation.evaluate import evaluate, recommend
 from igcn_cf_tpu.evaluation.metrics import (
@@ -94,3 +95,29 @@ def test_recommend_train_split_no_mask(tiny_ds):
 
     rec = recommend(predict, tiny_ds, "train", [1])
     assert (rec[:, 0] == top).all()
+
+
+def test_device_metrics_match_numpy():
+    """calculate_metrics_device (hit matrix + reductions on device, scalars
+    D2H) must reproduce the numpy path exactly."""
+    import jax.numpy as jnp
+
+    from igcn_cf_tpu.evaluation.metrics import (
+        calculate_metrics,
+        calculate_metrics_device,
+    )
+
+    rng = np.random.default_rng(5)
+    n_users, n_items, kmax = 80, 200, 10
+    eval_data = [
+        sorted(rng.choice(n_items, size=int(s), replace=False).tolist())
+        for s in rng.integers(0, 12, n_users)
+    ]
+    rec = np.stack([
+        rng.choice(n_items, size=kmax, replace=False) for _ in range(n_users)
+    ]).astype(np.int64)
+    want = calculate_metrics(eval_data, rec, [5, 10])
+    got = calculate_metrics_device(jnp.asarray(rec), eval_data, [5, 10])
+    for name in ("Precision", "Recall", "NDCG"):
+        for k in (5, 10):
+            assert got[name][k] == pytest.approx(want[name][k], rel=1e-5)

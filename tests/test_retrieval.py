@@ -1,0 +1,133 @@
+"""Fused score+mask+top-k retrieval kernel (kernels/retrieval.py): exact
+parity with the masked flat top-k oracle in interpreter mode, packing-layout
+round trip, and the evaluator's packed fast path end-to-end against the scan
+path."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from igcn_cf_tpu.kernels.retrieval import (
+    NEG,
+    fused_topk_ids,
+    pack_exclusion_words,
+    use_fused_retrieval,
+)
+
+
+def _mk_case(rng, n_users, n_items, d, nup, nip, li):
+    ur = rng.normal(size=(nup, d)).astype(np.float32)
+    it = rng.normal(size=(d, nip)).astype(np.float32)
+    it[:, n_items:] = 0.0
+    excl = [
+        list(rng.choice(n_items, size=rng.integers(0, 20), replace=False))
+        for _ in range(n_users)
+    ] + [[] for _ in range(nup - n_users)]
+    words = pack_exclusion_words(excl, nup, n_items, nip, li=li)
+    return ur, it, excl, words
+
+
+def _oracle(ur, it, excl, banned_items, n_users, n_items, k):
+    scores = ur @ it
+    for u in range(n_users):
+        if len(excl[u]):
+            scores[u, np.asarray(excl[u], dtype=np.int64)] = -np.inf
+    if banned_items is not None:
+        scores[:, np.asarray(banned_items, dtype=np.int64)] = -np.inf
+    scores[:, n_items:] = -np.inf
+    return np.argsort(-scores, axis=1, kind="stable")[:, :k]
+
+
+def test_fused_topk_matches_oracle():
+    rng = np.random.default_rng(0)
+    n_users, n_items, d, k = 70, 300, 16, 10
+    bu, li = 32, 128
+    nup, nip = 96, 384
+    ur, it, excl, words = _mk_case(rng, n_users, n_items, d, nup, nip, li)
+    banned_items = rng.choice(n_items, size=15, replace=False)
+    banned = np.zeros((1, nip), np.float32)
+    banned[0, banned_items] = NEG
+    banned[0, n_items:] = NEG
+
+    got = np.asarray(
+        fused_topk_ids(
+            jnp.asarray(ur), jnp.asarray(it), jnp.asarray(words),
+            jnp.asarray(banned), k=k, interpret=True, bu=bu, li=li,
+        )
+    )[:n_users]
+    want = _oracle(ur.copy(), it, excl, banned_items, n_users, n_items, k)[
+        :n_users
+    ]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_topk_multi_chunk_and_blocks():
+    """Several user blocks AND item chunks: the running-merge across chunks
+    must stay exact."""
+    rng = np.random.default_rng(3)
+    n_users, n_items, d, k = 150, 1000, 8, 7
+    bu, li = 64, 256
+    nup, nip = 192, 1024
+    ur, it, excl, words = _mk_case(rng, n_users, n_items, d, nup, nip, li)
+    banned = np.zeros((1, nip), np.float32)
+    banned[0, n_items:] = NEG
+    got = np.asarray(
+        fused_topk_ids(
+            jnp.asarray(ur), jnp.asarray(it), jnp.asarray(words),
+            jnp.asarray(banned), k=k, interpret=True, bu=bu, li=li,
+        )
+    )[:n_users]
+    want = _oracle(ur.copy(), it, excl, None, n_users, n_items, k)[:n_users]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_layout_roundtrip():
+    """Bit-plane packing: item c lands at chunk c//li, plane (c%li)//(li/32),
+    word (c%li)%(li/32)."""
+    li, lw = 128, 4
+    n_items, nip = 200, 256
+    lists = [[0, 31, 32, 127, 128, 199]]
+    words = pack_exclusion_words(lists, 1, n_items, nip, li=li)
+    assert words.shape == (1, nip // 32)
+    for item in lists[0]:
+        j, r = divmod(item, li)
+        b, w = divmod(r, lw)
+        assert (int(words[0, j * lw + w]) >> b) & 1 == 1, item
+    assert int(sum(bin(int(x)).count("1") for x in words[0])) == len(lists[0])
+
+
+def test_gating_off_on_cpu():
+    assert not use_fused_retrieval(10**6)  # tests run on the CPU mesh
+
+
+def test_packed_eval_path_matches_scan(tiny_ds, monkeypatch):
+    """The evaluator's wants_packed fast path returns the same metrics as
+    the scan path (kernel in interpreter mode, forced on)."""
+    import igcn_cf_tpu.kernels.retrieval as retr
+    import igcn_cf_tpu.models.base as base_mod
+    from igcn_cf_tpu.models.base import get_model
+    from igcn_cf_tpu.evaluation.evaluate import evaluate
+
+    model = get_model(
+        {"name": "MF", "embedding_size": 16}, tiny_ds
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    buffers = model.init_buffers()
+
+    scan_fn = model.make_recommend_fn(params, buffers)
+    assert not getattr(scan_fn, "wants_packed", False)
+    _, want = evaluate(None, tiny_ds, "test", [10], recommend_fn=scan_fn)
+
+    monkeypatch.setattr(retr, "use_fused_retrieval", lambda n: True)
+    monkeypatch.setattr(
+        retr, "fused_topk_ids", partial(retr.fused_topk_ids, interpret=True)
+    )
+    model._jit_cache.pop("recommend_scan", None)
+    fused_fn = model.make_recommend_fn(params, buffers)
+    assert getattr(fused_fn, "wants_packed", False)
+    _, got = evaluate(None, tiny_ds, "test", [10], recommend_fn=fused_fn)
+    for name in ("Precision", "Recall", "NDCG"):
+        assert got[name][10] == pytest.approx(want[name][10], rel=1e-5)
