@@ -64,18 +64,17 @@ def build_exclusion(
 _TOPK_CHUNK = 1024
 
 
-def exact_topk_ids(scores: jnp.ndarray, k: int,
-                   chunk: int = _TOPK_CHUNK) -> jnp.ndarray:
-    """Exact two-stage top-k ids over the item axis: per-chunk lax.top_k,
-    then re-rank the C*k candidates. Every global top-k element is in its
-    chunk's top-k, so the result set is exact (ties: stable by chunk order,
-    matching flat top_k's lower-index-first up to equal-value permutations).
-    ~4.7x faster than flat lax.top_k at (512, 41k) k=20 on v5e
-    (tools/microbench_topk.py)."""
+def exact_topk(scores: jnp.ndarray, k: int,
+               chunk: int = _TOPK_CHUNK):
+    """Exact two-stage top-k (values, ids) over the item axis: per-chunk
+    lax.top_k, then re-rank the C*k candidates. Every global top-k element
+    is in its chunk's top-k, so the result set is exact (ties: stable by
+    chunk order, matching flat top_k's lower-index-first up to equal-value
+    permutations). ~4.7x faster than flat lax.top_k at (512, 41k) k=20 on
+    v5e (tools/microbench_topk.py)."""
     b, n = scores.shape
     if n <= 2 * chunk or k > chunk:
-        _, items = jax.lax.top_k(scores, k)
-        return items
+        return jax.lax.top_k(scores, k)
     c = -(-n // chunk)
     pad = c * chunk - n
     if pad:
@@ -86,8 +85,14 @@ def exact_topk_ids(scores: jnp.ndarray, k: int,
     base = (jnp.arange(c, dtype=ci.dtype) * chunk)[None, :, None]
     cand_idx = (ci + base).reshape(b, c * k)
     cand_val = cv.reshape(b, c * k)
-    _, sel = jax.lax.top_k(cand_val, k)
-    return jnp.take_along_axis(cand_idx, sel, axis=1)
+    vals, sel = jax.lax.top_k(cand_val, k)
+    return vals, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
+def exact_topk_ids(scores: jnp.ndarray, k: int,
+                   chunk: int = _TOPK_CHUNK) -> jnp.ndarray:
+    """Ids-only wrapper of ``exact_topk``."""
+    return exact_topk(scores, k, chunk)[1]
 
 
 def mask_topk_core(

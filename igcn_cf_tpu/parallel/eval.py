@@ -84,52 +84,54 @@ def sharded_recommend(
 
     i_shard = items_pad // n_shards
 
-    def shard_fn(users_rep_b, items_shard, excl_b, banned_full):
-        items_shard = items_shard.reshape(i_shard, -1)
+    # the WHOLE eval is one jitted dispatch: a lax.scan over user blocks
+    # inside shard_map (round-4: the per-batch dispatch loop paid a tunnel
+    # round-trip per 512 users), with the exact two-stage top-k per shard
+    # (evaluation/evaluate.exact_topk — ~4.7x flat lax.top_k at 41k items)
+    from igcn_cf_tpu.evaluation.evaluate import exact_topk, pad_user_blocks
+
+    def shard_fn(users_pad_b, users_rep_full, items_shard, exclude_full,
+                 banned_full):
+        items_t = items_shard.reshape(i_shard, -1).T  # (d, I_shard)
         t = jax.lax.axis_index(TABLE_AXIS)
         offset = t * i_shard
-        scores = users_rep_b @ items_shard.T  # (B, I_shard)
-        # local slice of the banned mask
         local_banned = jax.lax.dynamic_slice(banned_full, (offset,), (i_shard,))
-        scores = jnp.where(local_banned[None, :], NEG_INF, scores)
-        # per-user exclusion ids mapped into the local range
-        local = excl_b - offset
-        in_range = (local >= 0) & (local < i_shard)
-        b = scores.shape[0]
-        ext = jnp.concatenate([scores, jnp.zeros((b, 1), scores.dtype)], axis=1)
-        rows = jnp.broadcast_to(jnp.arange(b)[:, None], local.shape)
-        ext = ext.at[rows, jnp.where(in_range, local, i_shard)].set(NEG_INF)
-        scores = ext[:, :i_shard]
         kk = min(max_k, i_shard)
-        vals, idx = jax.lax.top_k(scores, kk)
-        idx = idx + offset
-        vals_all = jax.lax.all_gather(vals, TABLE_AXIS, axis=1, tiled=True)
-        idx_all = jax.lax.all_gather(idx, TABLE_AXIS, axis=1, tiled=True)
-        mvals, midx = jax.lax.top_k(vals_all, max_k)
-        return jnp.take_along_axis(idx_all, midx, axis=1)
+
+        def body(c, users):
+            scores = users_rep_full[users] @ items_t  # (B, I_shard)
+            scores = jnp.where(local_banned[None, :], NEG_INF, scores)
+            # per-user exclusion ids mapped into the local range
+            local = exclude_full[users] - offset
+            in_range = (local >= 0) & (local < i_shard)
+            b = scores.shape[0]
+            ext = jnp.concatenate(
+                [scores, jnp.zeros((b, 1), scores.dtype)], axis=1
+            )
+            rows = jnp.broadcast_to(jnp.arange(b)[:, None], local.shape)
+            ext = ext.at[rows, jnp.where(in_range, local, i_shard)].set(NEG_INF)
+            vals, idx = exact_topk(ext[:, :i_shard], kk)
+            idx = idx + offset
+            vals_all = jax.lax.all_gather(vals, TABLE_AXIS, axis=1, tiled=True)
+            idx_all = jax.lax.all_gather(idx, TABLE_AXIS, axis=1, tiled=True)
+            mvals, midx = jax.lax.top_k(vals_all, max_k)
+            return c, jnp.take_along_axis(idx_all, midx, axis=1)
+
+        _, recs = jax.lax.scan(body, jnp.int32(0), users_pad_b)
+        return recs.reshape(-1, max_k)
 
     run = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(TABLE_AXIS, None), P(), P()),
+            in_specs=(P(), P(), P(TABLE_AXIS, None), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
     )
 
-    # dispatch every batch without synchronizing; one D2H at the end (a
-    # per-batch readback costs a tunnel round-trip per 512 users)
-    parts = []
-    for start in range(0, n_users, test_batch_size):
-        stop = min(start + test_batch_size, n_users)
-        users_np = np.arange(start, stop, dtype=np.int32)
-        if stop - start < test_batch_size:
-            users_np = np.concatenate(
-                [users_np, np.full(test_batch_size - (stop - start), stop - 1, np.int32)]
-            )
-        parts.append(run(users_rep[users_np], items_sh, exclude[users_np], banned))
-    rec_dev = jnp.concatenate(parts, axis=0)[:n_users]
+    users_pad = jnp.asarray(pad_user_blocks(n_users, test_batch_size))
+    rec_dev = run(users_pad, users_rep, items_sh, exclude, banned)[:n_users]
     return np.asarray(rec_dev).astype(np.int64)
 
 
