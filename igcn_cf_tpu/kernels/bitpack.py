@@ -191,6 +191,11 @@ def _make_fwd_kernel(masked: bool, thr: int):
             rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * TM
             words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
             w = w & _keepword(seed_ref[0], rows, words, thr)
+        # kept as the per-plane dot chain: a round-4 flat-dot variant
+        # (concat 32 planes -> one big-K dot, tools/microbench_bitpack3.py)
+        # measured faster in isolation but NEUTRAL-to-worse in-situ
+        # (feat_agg_fwd_bwd 7.54 -> 7.68 ms) — the masked path is bound by
+        # the keep-word hash, not dot issue, so the concat only adds VPU work
         acc = acc_ref[:]
         for b in range(32):
             bits = (

@@ -516,7 +516,13 @@ def _ab_version() -> str:
     import hashlib
     import inspect
 
+    from igcn_cf_tpu.kernels import bitpack
+
     src = inspect.getsource(_fused_fwd) + inspect.getsource(_fused_bwd)
+    # the A/B's recompute side runs the bit-packed kernels: their edits must
+    # also invalidate memoized verdicts
+    src += inspect.getsource(bitpack._make_fwd_kernel)
+    src += inspect.getsource(bitpack._make_bwd_kernel)
     geom = f"|tr={GATHER_TR}|nj={GATHER_NJ}|align={_ALIGN}"
     return hashlib.sha1((src + geom).encode()).hexdigest()[:10]
 
