@@ -75,5 +75,44 @@ def main():
     print(f"block-0 exact match: {(got == want).all()}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--sweep" not in sys.argv:
     main()
+
+
+def sweep():
+    """BU/LI geometry sweep of the fused kernel."""
+    from igcn_cf_tpu.utils.timing import scan_ms
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    ku, ki = jax.random.split(key)
+    cases = ((256, 4096), (512, 4096), (1024, 4096), (512, 8192),
+             (1024, 8192), (256, 8192))
+    pick = [a for a in sys.argv[1:] if "x" in a]
+    if pick:
+        cases = [tuple(int(v) for v in p.split("x")) for p in pick]
+    for bu, li in cases:
+        nup, nip = _pad_to(N_USERS, bu), _pad_to(N_ITEMS, li)
+        ur = jax.random.normal(ku, (nup, D), jnp.float32)
+        it = jax.random.normal(ki, (D, nip), jnp.float32)
+        words = jnp.zeros((nup, nip // 32), jnp.uint32)
+        banned = np.zeros((1, nip), np.float32)
+        banned[0, N_ITEMS:] = NEG
+        banned = jnp.asarray(banned)
+
+        def step(s, ura, ita, wa, ba, bu=bu, li=li):
+            u = ura + s * 1e-30
+            ids = fused_topk_ids(u, ita, wa, ba, k=K, bu=bu, li=li)
+            return s + ids[0, 0].astype(jnp.float32) * 1e-20
+
+        try:
+            ms = scan_ms(step, ur, it, words, banned)
+            print(f"bu={bu:5d} li={li:5d}: {ms:7.2f} ms "
+                  f"({N_USERS/ms*1e3:,.0f} users/s)", flush=True)
+        except Exception as e:
+            print(f"bu={bu} li={li}: {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+
+
+if __name__ == "__main__" and "--sweep" in sys.argv:
+    sweep()
