@@ -196,6 +196,36 @@ class Model:
         ItemKNN)."""
         return None
 
+    def _traced_scan_recommend_fn(self, params: Params, buffers: Buffers,
+                                  predict_core, cache_key: str):
+        """Generic single-dispatch recommender for any TRACEABLE scorer
+        ``predict_core(params, buffers, users (B,)) -> (B, n_items)``: the
+        whole eval is one jitted ``lax.scan`` over user blocks (one
+        dispatch, one D2H) — the non-dot models' analog of
+        ``_dot_recommend_fn``."""
+        from igcn_cf_tpu.evaluation.evaluate import mask_topk_core
+
+        n_items = self.n_items
+
+        def make():
+            def scan_rec(params, buffers, users_pad, exclude, banned_mask,
+                         *, max_k):
+                def body(c, users):
+                    scores = predict_core(params, buffers, users)
+                    return c, mask_topk_core(
+                        scores, exclude[users], banned_mask, max_k, n_items
+                    )
+
+                _, recs = jax.lax.scan(body, jnp.int32(0), users_pad)
+                return recs.reshape(-1, max_k)
+
+            return scan_rec
+
+        fn = self._get_jit(cache_key, make, static_argnames=("max_k",))
+        return lambda users_pad, exclude, banned_mask, max_k: fn(
+            params, buffers, users_pad, exclude, banned_mask, max_k=max_k
+        )
+
     # -- device state -------------------------------------------------------
 
     def init_params(self, key: jax.Array) -> Params:

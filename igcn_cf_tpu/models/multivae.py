@@ -136,6 +136,26 @@ class MultiVAE(Model):
         fn = self._get_jit(f"predict_{n_items}", make)
         return lambda users: fn(params, buffers, users)
 
+    def make_recommend_fn(self, params, buffers):
+        n_items = self.n_items
+        n_profile = self.n_profile_items
+
+        def core(params, buffers, users):
+            scores, _, _ = self.ml_forward(
+                params, buffers, users, train=False, key=None
+            )
+            if n_profile < n_items:
+                pad = jnp.full(
+                    (scores.shape[0], n_items - n_profile), -jnp.inf,
+                    scores.dtype,
+                )
+                scores = jnp.concatenate([scores, pad], axis=1)
+            return scores
+
+        return self._traced_scan_recommend_fn(
+            params, buffers, core, f"recscan_{n_items}"
+        )
+
     def rebuild_for(self, new_dataset):
         """dropit: re-derive profiles from new interactions (reference
         run/dropit/vae_dropit.py:33-35). dropui: keep the trained profile

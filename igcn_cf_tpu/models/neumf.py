@@ -91,3 +91,19 @@ class NeuMF(Model):
         # arch is a trace-time constant — key the cache on it
         fn = self._get_jit(f"predict_{self.arch}", make)
         return lambda users: fn(params, users)
+
+    def make_recommend_fn(self, params, buffers):
+        n_items = self.n_items
+
+        def core(params, buffers, users):
+            items = jnp.arange(n_items, dtype=jnp.int32)[None, :]
+            items = jnp.broadcast_to(items, (users.shape[0], n_items))
+            u = jnp.broadcast_to(users[:, None], items.shape)
+            scores, _ = self.bce_forward(params, u, items)
+            return scores
+
+        # the brute-force pair scorer makes n_users/64 per-batch dispatches
+        # especially costly; the scan folds them into one
+        return self._traced_scan_recommend_fn(
+            params, buffers, core, f"recscan_{self.arch}"
+        )
