@@ -235,6 +235,10 @@ def main():
             "rep_ms": round(t_rep * 1e3, 1),
             "fused_score_mask_topk_ms": round(t_retr * 1e3, 1),
             "device_metrics_ms": round(t_metrics * 1e3, 1),
+            # each piece is wall-timed separately and so includes its own
+            # tunnel dispatch round-trip; the pieces can sum past the
+            # pipelined end-to-end eval wall above
+            "note": "pieces include per-dispatch tunnel RTT",
         }
     else:
         t_rec_total = timed(

@@ -109,9 +109,24 @@ class Popularity(Model):
 
         return predict
 
+    def make_recommend_fn(self, params, buffers):
+        deg = jnp.asarray(self.item_degree)
+
+        def core(params, buffers, users):
+            return jnp.broadcast_to(
+                deg[None, :], (users.shape[0], deg.shape[0])
+            )
+
+        return self._traced_scan_recommend_fn(
+            params, buffers, core, f"recscan_{self.n_items}"
+        )
+
     def rebuild_for(self, new_dataset):
         self.dataset = new_dataset
         self.n_users = new_dataset.n_users
         self.n_items = new_dataset.n_items
         self.item_degree = self.calculate_degree(new_dataset)
+        # the scan recommender bakes item_degree in as a jit constant; a
+        # rebuild with the same n_items (dropit) must not reuse it
+        self._jit_cache.clear()
         return {}
