@@ -122,6 +122,20 @@ def _mix_hash(seed, rows, words):
     return h ^ (h >> 16)
 
 
+def _mix_base(rows, words):
+    """The round-independent part of ``_mix_hash``: rows*C1 ^ words*C2.
+    Hoisting it out of ``_keepword``'s 8 rounds removes 16 of the 24 u32
+    multiplies per keep word (VPU int multiplies are the dropout hash's
+    cost) with BIT-IDENTICAL output."""
+    return (rows.astype(jnp.uint32) * _C1) ^ (words.astype(jnp.uint32) * _C2)
+
+
+def _mix_finish(base, seed):
+    h = base ^ seed
+    h = (h ^ (h >> 16)) * _C3
+    return h ^ (h >> 16)
+
+
 def _salt(i: int) -> np.uint32:
     return np.uint32((i * 0x9E3779B1 + 1) & 0xFFFFFFFF)
 
@@ -133,8 +147,9 @@ def _keepword(seed, rows, words, thr: int):
     comparator runs on all 32 bit positions at once via bitwise ops."""
     ge = jnp.zeros(rows.shape, dtype=jnp.uint32)
     eq = jnp.full(rows.shape, 0xFFFFFFFF, dtype=jnp.uint32)
+    base = _mix_base(rows, words)  # hoisted: identical across the 8 rounds
     for i in range(7, -1, -1):
-        h = _mix_hash(seed + _salt(i), rows, words)
+        h = _mix_finish(base, seed + _salt(i))
         if (thr >> i) & 1:
             eq = eq & h
         else:
