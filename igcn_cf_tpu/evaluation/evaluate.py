@@ -123,10 +123,8 @@ _mask_and_topk = jax.jit(
 
 def _packed_exclusion_dev(ds, split: str, nup: int, nip: int):
     """Device-resident packed exclusion words for the fused retrieval
-    kernel, cached per dataset+split (host packing costs seconds at 30k+
-    users; train-split exclusion is empty and skips packing)."""
-    from igcn_cf_tpu.kernels.retrieval import pack_exclusion_words
-
+    kernel, cached per dataset+split and packed ON DEVICE; train-split
+    exclusion is empty and skips packing."""
     cache = getattr(ds, "_packed_excl_cache", None)
     if cache is None:
         cache = {}
@@ -138,14 +136,28 @@ def _packed_exclusion_dev(ds, split: str, nup: int, nip: int):
     words = cache.get(key)
     if words is None:
         if split == "train":
-            words_np = np.zeros((nup, nip // 32), dtype=np.uint32)
+            words = jnp.zeros((nup, nip // 32), dtype=jnp.uint32)
         else:
+            from igcn_cf_tpu.kernels.retrieval import (
+                pack_exclusion_words_device,
+            )
+
             lists = [list(ds.train[u]) for u in range(ds.n_users)]
             if split == "test":
                 lists = [a + list(b) for a, b in zip(lists, ds.val)]
-            lists += [[] for _ in range(nup - ds.n_users)]
-            words_np = pack_exclusion_words(lists, nup, ds.n_items, nip)
-        words = cache[key] = jnp.asarray(words_np)
+            rows = np.concatenate(
+                [np.full(len(x), u, np.int32)
+                 for u, x in enumerate(lists) if len(x)]
+                or [np.zeros(0, np.int32)]
+            )
+            cols = np.concatenate(
+                [np.asarray(x, np.int32) for x in lists if len(x)]
+                or [np.zeros(0, np.int32)]
+            )
+            # pack ON DEVICE: H2D moves the (nnz,) id arrays instead of the
+            # ~170 MB packed matrix over the remote-TPU tunnel
+            words = pack_exclusion_words_device(rows, cols, nup, nip)
+        cache[key] = words
     return words
 
 

@@ -78,6 +78,56 @@ class BipartiteDense:
     @staticmethod
     def build(train_array: np.ndarray, n_users: int,
               n_items: int) -> "BipartiteDense":
+        """Pack ON DEVICE: H2D moves only the (nnz, 2) interaction array
+        (~7 MB at Gowalla scale) instead of the ~161 MB packed matrix — on
+        the remote-TPU platform the host pack + upload dominated every
+        graph (re)build (tools/bench_serve.py refresh attribution). The
+        scatter adds DISTINCT powers of two per (row, word) because
+        interaction pairs are deduplicated first, so add equals bitwise-or
+        and the result is bit-identical to the host pack
+        (``build_host``, kept as the test oracle)."""
+        from igcn_cf_tpu.kernels.bitpack import TK, TKP, TM, pad_to
+
+        train_array = np.asarray(train_array)
+        mp, kp = pad_to(n_users, TM), pad_to(n_items, TK)
+        if len(train_array):
+            # upstream loaders dedupe, but add==or REQUIRES uniqueness —
+            # enforce it (cheap) rather than corrupt bits on a stray dup
+            uniq = np.unique(
+                train_array[:, 0].astype(np.int64) * np.int64(n_items)
+                + train_array[:, 1].astype(np.int64)
+            )
+            rows = jnp.asarray((uniq // n_items).astype(np.int32))
+            cols_np = (uniq % n_items).astype(np.int32)
+            cols = jnp.asarray(cols_np)
+            word = (cols // TK) * TKP + (cols % TKP)
+            bit = ((cols % TK) // TKP).astype(jnp.uint32)
+            packed = (
+                jnp.zeros((mp, kp // 32), jnp.uint32)
+                .at[rows, word]
+                .add(jnp.uint32(1) << bit)
+            )
+            deg_u = (
+                jnp.zeros(n_users, jnp.float32).at[rows].add(1.0)
+            )
+            deg_i = jnp.zeros(n_items, jnp.float32).at[cols].add(1.0)
+        else:
+            packed = jnp.zeros((mp, kp // 32), jnp.uint32)
+            deg_u = jnp.zeros(n_users, jnp.float32)
+            deg_i = jnp.zeros(n_items, jnp.float32)
+        return BipartiteDense(
+            B=packed,
+            deg_u=deg_u,
+            deg_i=deg_i,
+            n_users=n_users,
+            n_items=n_items,
+        )
+
+    @staticmethod
+    def build_host(train_array: np.ndarray, n_users: int,
+                   n_items: int) -> "BipartiteDense":
+        """Host-side pack (the round-3 path) — kept as the oracle for
+        ``build``'s device scatter."""
         train_array = np.asarray(train_array)
         packed, _, _ = pack_interactions(train_array, n_users, n_items)
         deg_u = np.zeros(n_users, dtype=np.float32)

@@ -1,0 +1,238 @@
+"""Production retrieval service around a trained checkpoint.
+
+The INMO use-case this framework exists for (reference paper §1; dropui flow
+run/dropui/igcn_dropui.py:26-48) is SERVING with a moving catalog: new
+users/items keep arriving, and the inductive template aggregation gives them
+representations with ZERO gradient steps — the reference benchmarks this as
+"inductive update inference time" (3.4 s INMO-LGCN / 1.8 s INMO-MF on its
+GPU, run/plot.py:200-201; BASELINE.md). ``Recommender`` packages that
+life-cycle as a service object:
+
+    rec = Recommender.from_checkpoint(path, model_config, dataset)
+    ids = rec.recommend(user_ids, k=20)     # masked top-k per request
+    rec.refresh(new_dataset)                # inductive update: rebuild
+                                            # feat/graph over the new data,
+                                            # recompute representations —
+                                            # no training
+
+Serving path: representations are computed once per refresh and held on
+device; requests gather their user rows and run the fused Pallas
+score+mask+top-k kernel (kernels/retrieval.py) on TPU, or the exact
+two-stage scan evaluator elsewhere. Exclusion masks (the user's known
+interactions) are packed once per refresh. Request shapes bucket to the
+kernel's user-block size, so distinct request sizes cost at most a handful
+of compiles.
+
+tools/bench_serve.py measures refresh latency and request throughput at
+Gowalla scale on the real chip -> SERVE.json.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from igcn_cf_tpu.models.base import get_model
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class Recommender:
+    def __init__(self, model, params, buffers, *, exclude: str = "train"):
+        """``exclude``: which known interactions never get re-recommended —
+        'train' (the eval protocol's masking) or 'all' (train+val+test, the
+        usual serving stance)."""
+        if exclude not in ("train", "all"):
+            raise ValueError(f"exclude must be 'train' or 'all', got {exclude!r}")
+        self.model = model
+        self.params = params
+        self.buffers = buffers
+        self.exclude = exclude
+        self._prepare()
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, model_config: dict, dataset, *,
+                        exclude: str = "train"):
+        """Load a trained checkpoint over the CURRENT dataset — the
+        inductive contract (reference model.py:454-466): template maps come
+        from the checkpoint, feat/graph structures from the dataset, so
+        users/items unseen at training time are served immediately."""
+        # serving never trains: the propagation cache is a training-only
+        # structure, so don't spend the multi-GB build on it
+        model = get_model(dict(model_config, prop_cache=False), dataset)
+        params = model.load(path)
+        buffers = model.refresh_buffers(model.init_buffers())
+        return cls(model, params, buffers, exclude=exclude)
+
+    @classmethod
+    def from_trainer(cls, trainer, *, exclude: str = "train"):
+        return cls(trainer.model, trainer.params, trainer.buffers,
+                   exclude=exclude)
+
+    # -- life-cycle ----------------------------------------------------------
+
+    def refresh(self, new_dataset=None) -> float:
+        """Inductive update: rebuild graph/feat structures over
+        ``new_dataset`` (or the current one) and recompute representations +
+        masks. Returns the wall seconds — the number the reference calls
+        'inductive update inference time' (run/plot.py:200-201). No
+        training happens."""
+        t0 = time.time()
+        if new_dataset is not None:
+            model = self.model
+            same_shape = (
+                new_dataset.n_users == model.n_users
+                and new_dataset.n_items == model.n_items
+            )
+            saved = dict(model._jit_cache) if same_shape else None
+            self.buffers = model.rebuild_for(new_dataset)
+            if saved is not None:
+                # steady-state refresh (new interactions, same catalog
+                # shape): the jitted evaluators are pure functions of their
+                # ARGS, so the rebuilt buffers flow through them — restoring
+                # the cache avoids a multi-second re-jit round trip per
+                # refresh (tools/bench_serve.py)
+                model._jit_cache.update(saved)
+        self._prepare()
+        return time.time() - t0
+
+    def _exclude_lists(self):
+        ds = self.model.dataset
+        lists = [list(ds.train[u]) for u in range(ds.n_users)]
+        if self.exclude == "all":
+            for u in range(ds.n_users):
+                lists[u] += list(ds.val[u]) + list(ds.test[u])
+        return lists
+
+    @staticmethod
+    def _lists_to_coo(lists):
+        rows = np.concatenate(
+            [np.full(len(x), u, np.int32) for u, x in enumerate(lists) if len(x)]
+            or [np.zeros(0, np.int32)]
+        )
+        cols = np.concatenate(
+            [np.asarray(x, np.int32) for x in lists if len(x)]
+            or [np.zeros(0, np.int32)]
+        )
+        return rows, cols
+
+    def _prepare(self):
+        from igcn_cf_tpu.kernels.retrieval import (
+            LI, NEG, pack_exclusion_words_device, use_fused_retrieval,
+        )
+
+        model = self.model
+        n_users, n_items = model.n_users, model.n_items
+        rep_fn = model._get_jit(
+            "rep_eval",
+            lambda: (lambda p, b: model.rep(p, b, train=False, key=None)),
+        )
+        rep = rep_fn(self.params, self.buffers)
+        self._users_rep = rep[:n_users]
+        self._items_t = rep[n_users:].T
+        self._fused = use_fused_retrieval(n_items)
+        if self._fused:
+            nip = _pad_to(n_items, LI)
+            self._nip = nip
+            if nip != n_items:  # zero-pad to the kernel's item-chunk grid
+                self._items_t = jnp.concatenate(
+                    [
+                        self._items_t,
+                        jnp.zeros(
+                            (self._items_t.shape[0], nip - n_items),
+                            self._items_t.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
+            # pack ON DEVICE: H2D moves the (nnz,) id arrays, not ~170 MB
+            # of packed words over the tunnel (tools/bench_serve.py); for
+            # exclude='train' the dataset's train_array IS the COO already
+            if self.exclude == "train":
+                arr = self.model.dataset.train_array
+                rows = arr[:, 0].astype(np.int32)
+                cols = arr[:, 1].astype(np.int32)
+            else:
+                rows, cols = self._lists_to_coo(self._exclude_lists())
+            self._excl_words = pack_exclusion_words_device(
+                rows, cols, n_users, nip
+            )
+            banned = np.zeros((1, nip), np.float32)
+            banned[0, n_items:] = NEG
+            self._banned_row = jnp.asarray(banned)
+            # sync: serving readiness means reps AND masks are resident —
+            # force a readback from each (on the remote-TPU platform
+            # block_until_ready does not block; a D2H element does)
+            float(jnp.sum(self._users_rep[0]))
+            int(self._excl_words[0, 0])
+        else:
+            lists = self._exclude_lists()
+            width = max(1, max((len(x) for x in lists), default=1))
+            excl = np.full((n_users, width), n_items, dtype=np.int32)
+            for u, items in enumerate(lists):
+                if items:
+                    excl[u, : len(items)] = items
+            self._excl_ids = jnp.asarray(excl)
+            self._banned_mask = jnp.zeros((n_items,), bool)
+        self._request_fns = {}
+
+    # -- serving -------------------------------------------------------------
+
+    def recommend(self, user_ids: Sequence[int], k: int = 20,
+                  banned_items: Optional[np.ndarray] = None) -> np.ndarray:
+        """Top-k item ids for a batch of users, never recommending their
+        excluded interactions (reference masking semantics,
+        trainer.py:149-163). Request size buckets to the kernel block."""
+        from igcn_cf_tpu.kernels.retrieval import BU, NEG, fused_topk_ids
+        from igcn_cf_tpu.evaluation.evaluate import mask_topk_core
+
+        users = np.asarray(user_ids, dtype=np.int32)
+        n = users.shape[0]
+        if n == 0:
+            return np.zeros((0, k), dtype=np.int64)
+        if self._fused:
+            npad = _pad_to(n, BU)
+            users_p = np.concatenate(
+                [users, np.full(npad - n, users[-1], np.int32)]
+            )
+            up = jnp.asarray(users_p)
+            ur = self._users_rep[up]
+            ew = self._excl_words[up]
+            banned = self._banned_row
+            if banned_items is not None:
+                extra = np.zeros((1, self._nip), np.float32)
+                extra[0, np.asarray(banned_items, np.int64)] = NEG
+                # minimum, not +: NEG + NEG would overflow f32 to -inf
+                banned = jnp.minimum(banned, jnp.asarray(extra))
+            rec = fused_topk_ids(ur, self._items_t, ew, banned, k=k)
+            return np.asarray(rec[:n]).astype(np.int64)
+
+        # scan/two-stage fallback (CPU, small catalogs)
+        n_items = self.model.n_items
+        banned_mask = self._banned_mask
+        if banned_items is not None:
+            banned_mask = banned_mask.at[
+                jnp.asarray(np.asarray(banned_items, np.int64))
+            ].set(True)
+        key_ = ("scan", k)
+        fn = self._request_fns.get(key_)
+        if fn is None:
+            @jax.jit
+            def fn(ur_all, it, excl_all, banned_mask, users):
+                scores = ur_all[users] @ it
+                return mask_topk_core(
+                    scores, excl_all[users], banned_mask, k, n_items
+                )
+
+            self._request_fns[key_] = fn
+        rec = fn(self._users_rep, self._items_t, self._excl_ids, banned_mask,
+                 jnp.asarray(users))
+        return np.asarray(rec).astype(np.int64)

@@ -267,3 +267,26 @@ def test_imcgae_dense_training_runs(tmp_path, monkeypatch, tiny_ds):
     trainer = get_trainer(cfg, tiny_ds, model)
     best = trainer.train(verbose=False)
     assert np.isfinite(best) and best > 0.0
+
+
+def test_device_build_matches_host_build(tiny_ds):
+    """BipartiteDense.build (device scatter pack) is bit-identical to the
+    host pack oracle, including with duplicate interaction pairs."""
+    from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+
+    a = BipartiteDense.build(tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items)
+    b = BipartiteDense.build_host(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items
+    )
+    np.testing.assert_array_equal(np.asarray(a.B), np.asarray(b.B))
+    np.testing.assert_array_equal(np.asarray(a.deg_u), np.asarray(b.deg_u))
+    np.testing.assert_array_equal(np.asarray(a.deg_i), np.asarray(b.deg_i))
+
+    # duplicates must not corrupt bits (add==or only holds after dedupe)
+    dup = np.concatenate([tiny_ds.train_array, tiny_ds.train_array[:7]])
+    c = BipartiteDense.build(dup, tiny_ds.n_users, tiny_ds.n_items)
+    np.testing.assert_array_equal(np.asarray(c.B), np.asarray(b.B))
+
+    # empty
+    e = BipartiteDense.build(np.zeros((0, 2), np.int64), 4, 4)
+    assert not np.asarray(e.B).any()

@@ -131,3 +131,31 @@ def test_packed_eval_path_matches_scan(tiny_ds, monkeypatch):
     _, got = evaluate(None, tiny_ds, "test", [10], recommend_fn=fused_fn)
     for name in ("Precision", "Recall", "NDCG"):
         assert got[name][10] == pytest.approx(want[name][10], rel=1e-5)
+
+
+def test_device_pack_matches_host_pack():
+    """pack_exclusion_words_device (scatter-add of distinct bit powers)
+    reproduces the host bit-plane packing exactly."""
+    from igcn_cf_tpu.kernels.retrieval import pack_exclusion_words_device
+
+    rng = np.random.default_rng(9)
+    n_users, n_items, nip, li = 40, 500, 512, 128
+    lists = [
+        sorted(rng.choice(n_items, size=int(s), replace=False).tolist())
+        for s in rng.integers(0, 25, n_users)
+    ]
+    want = pack_exclusion_words(lists, n_users, n_items, nip, li=li)
+    rows = np.concatenate(
+        [np.full(len(x), u, np.int32) for u, x in enumerate(lists) if len(x)]
+    )
+    cols = np.concatenate([np.asarray(x, np.int32) for x in lists if len(x)])
+    got = np.asarray(
+        pack_exclusion_words_device(rows, cols, n_users, nip, li=li)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # empty input packs to zeros
+    z = pack_exclusion_words_device(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), 4, 256, li=128
+    )
+    assert not np.asarray(z).any()
