@@ -83,6 +83,17 @@ def main():
               flush=True)
         assert out.shape == (req, 20)
 
+    # IMF (INMO-MF, no propagation): the reference's other inductive-update
+    # number (1.8 s)
+    imf = get_model(dict(cfg, name="IMF", n_layers=0), full)
+    imf_params = imf.init_params(jax.random.PRNGKey(0))
+    rec_imf = Recommender(imf, imf_params, imf.init_buffers(),
+                          exclude="train")
+    rec_imf.refresh(full)  # warm compiles at this shape
+    imf_refresh_s = rec_imf.refresh(full)
+    print(f"# IMF steady-state refresh: {imf_refresh_s:.2f}s "
+          f"(reference INMO-MF: 1.8s)", flush=True)
+
     result = {
         "graph_backend": backend,
         "catalog": [full.n_users, full.n_items],
@@ -91,6 +102,8 @@ def main():
         "refresh_inductive_s": round(refresh_s, 2),
         "refresh_steady_s": round(refresh2_s, 2),
         "reference_inductive_update_s": 3.4,
+        "imf_refresh_steady_s": round(imf_refresh_s, 2),
+        "imf_reference_inductive_update_s": 1.8,
         "requests": lat,
         "platform": "tpu",
         "note": (
