@@ -115,7 +115,6 @@ def cmd_process(args):
     """Raw dump -> 10-core filter -> temporal split 'time/' + 5 seeded random
     shuffles '0..4/' (reference run/process_dataset.py:5-19)."""
     from igcn_cf_tpu.data.dataset import get_dataset
-    from igcn_cf_tpu.data.loaders import split_interactions
 
     name = args.dataset
     base = os.path.join(args.root, name)

@@ -18,7 +18,6 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax

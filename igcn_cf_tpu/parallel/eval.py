@@ -11,7 +11,6 @@ interconnect instead of the full catalog row.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -22,7 +21,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from igcn_cf_tpu.core.mesh import TABLE_AXIS, reshard
 from igcn_cf_tpu.evaluation.evaluate import build_exclusion
 from igcn_cf_tpu.evaluation.metrics import calculate_metrics, format_metrics
-from igcn_cf_tpu.parallel.topk import sharded_topk
 
 NEG_INF = -jnp.inf
 
