@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from igcn_cf_tpu.core.mesh import TABLE_AXIS, reshard
 from igcn_cf_tpu.evaluation.evaluate import build_exclusion
-from igcn_cf_tpu.evaluation.metrics import calculate_metrics, format_metrics
+from igcn_cf_tpu.evaluation.metrics import format_metrics
 
 NEG_INF = -jnp.inf
 
@@ -39,6 +39,7 @@ def sharded_recommend(
     topks: Sequence[int],
     banned_items: Optional[np.ndarray] = None,
     test_batch_size: int = 512,
+    return_device: bool = False,
 ) -> np.ndarray:
     """Top-max(topks) ids per user with the reference's masking semantics
     (reference trainer.py:140-166), scored shard-locally.
@@ -130,6 +131,8 @@ def sharded_recommend(
 
     users_pad = jnp.asarray(pad_user_blocks(n_users, test_batch_size))
     rec_dev = run(users_pad, users_rep, items_sh, exclude, banned)[:n_users]
+    if return_device:
+        return rec_dev
     return np.asarray(rec_dev).astype(np.int64)
 
 
@@ -143,10 +146,17 @@ def sharded_evaluate(
     banned_items=None,
     test_batch_size: int = 512,
 ):
+    from igcn_cf_tpu.evaluation.metrics import calculate_metrics_device
+
     eval_data = getattr(ds, split)
-    rec = sharded_recommend(
+    # recommendations stay on device; the hit matrix and metric reductions
+    # run there too and only scalars travel D2H (the replicated rec array
+    # is addressable on every process, so this stays multi-host-safe)
+    rec_dev = sharded_recommend(
         mesh, users_rep, items_rep, ds, split, topks, banned_items,
-        test_batch_size,
+        test_batch_size, return_device=True,
     )
-    metrics = calculate_metrics(eval_data, rec, topks)
+    metrics = calculate_metrics_device(
+        rec_dev, eval_data, topks, cache_on=ds, cache_key=("sharded", split)
+    )
     return format_metrics(metrics, topks), metrics
