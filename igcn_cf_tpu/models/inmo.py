@@ -306,14 +306,13 @@ class IGCN(Model):
         self.backend = choose_backend(
             self.n_users, self.n_items, self.config.get("graph_backend", "auto")
         )
-        self.pcache = (
-            self.supports_pcache
-            and self.backend.startswith("dense")
-            and use_pcache(
-                self.n_users, self.n_items, self.n_layers,
-                self.config.get("prop_cache", "auto"),
-            )
-        )
+        # the propagation cache is TRAIN-only; the inductive flows only
+        # EVALUATE after a rebuild (reference run/drop*/: eval protocols),
+        # and rebuilding a multi-GB P while the trainer still references the
+        # old one OOMs near the budget (observed at the Yelp dropui shape:
+        # 6.4 + 10.3 GiB > 16 GiB HBM). Re-create the model to train on the
+        # rebuilt dataset instead.
+        self.pcache = False
         self._jit_cache.clear()
         return self.init_buffers()
 

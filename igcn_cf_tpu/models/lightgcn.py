@@ -116,16 +116,16 @@ class LightGCN(Model):
 
     def rebuild_for(self, new_dataset):
         """dropit recipe: rebuild norm_adj only (reference
-        run/dropit/lgcn_dropit.py:33-35)."""
+        run/dropit/lgcn_dropit.py:33-35). The propagation cache is
+        TRAIN-only and the flows only evaluate after a rebuild — skipping it
+        avoids holding two multi-GB caches near the HBM budget (see
+        IGCN.rebuild_for)."""
         self.backend = choose_backend(
             new_dataset.n_users,
             new_dataset.n_items,
             self.config.get("graph_backend", "auto"),
         )
-        self.pcache = self.backend.startswith("dense") and use_pcache(
-            new_dataset.n_users, new_dataset.n_items, self.n_layers,
-            self.config.get("prop_cache", "auto"),
-        )
+        self.pcache = False
         return super().rebuild_for(new_dataset)
 
     def grow_params(self, params, old_n_users, old_n_items):

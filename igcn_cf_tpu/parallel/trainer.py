@@ -168,7 +168,10 @@ class ShardedIGCNTrainer:
             feature_ratio=mc.get("feature_ratio", 1.0),
             ranking_metric=mc.get("ranking_metric", "sort"),
             delta=mc.get("delta", 0.99),
-            prop_cache=mc.get("prop_cache", "auto"),
+            # train-only structure; rebuilt flows evaluate, and rebuilding a
+            # sharded P while the old train_state still holds one would OOM
+            # near the per-chip budget (see IGCN.rebuild_for)
+            prop_cache=False,
             template_maps=(ts.user_map, ts.item_map),
         )
         # same template space -> same table shape: carry the params over
