@@ -20,6 +20,16 @@ from igcn_cf_tpu.core.registry import DATASETS
 
 @dataclass
 class Interactions:
+    """IMMUTABILITY CONTRACT: the split lists (``train``/``val``/``test``)
+    must never be mutated in place after construction. The evaluator memoizes
+    device-resident structures derived from them on this instance
+    (``_exclusion_cache`` / ``_exclusion_dev_cache`` / ``_packed_excl_cache``
+    / ``_eval_pad_cache``, see evaluation/evaluate.py) with no invalidation
+    hook — an in-place mutation would silently evaluate against stale masks
+    (ADVICE r4 #5). To change splits, derive a fresh object via
+    ``with_splits`` (which carries only the still-valid caches); the
+    inductive flows already work this way."""
+
     name: str
     n_users: int
     n_items: int

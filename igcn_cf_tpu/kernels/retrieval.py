@@ -102,16 +102,24 @@ def pack_exclusion_words_device(user_ids, item_ids, n_users: int,
     """Device-side packing of the SAME bit-plane layout as
     ``pack_exclusion_words``: H2D moves only the (nnz,) interaction id
     arrays (~MBs) instead of the packed matrix (~170 MB at Gowalla scale
-    over the remote-TPU tunnel), and the scatter runs on-chip. Exactness:
-    items are UNIQUE per user, so every (user, word) update adds a DISTINCT
-    power of two — add equals bitwise-or. Returns (n_users, n_items_pad/32)
-    uint32."""
+    over the remote-TPU tunnel), and the scatter runs on-chip. The scatter
+    ADDS powers of two, which equals bitwise-or only for UNIQUE (user, item)
+    pairs — callers legitimately feed concatenations that can repeat a pair
+    (e.g. train[u]+val[u] slices, or serve's exclude='all' union), and one
+    duplicate would carry into an adjacent bit, silently flipping another
+    item's exclusion (ADVICE r4 #1). Dedupe here, on the host id arrays
+    (they arrive as numpy; int64 keys sidestep the device's disabled x64).
+    Returns (n_users, n_items_pad/32) uint32."""
     li = li or LI
     lw = li // 32
     assert n_items_pad % li == 0
     n_words = (n_items_pad // li) * lw
-    u = jnp.asarray(user_ids, jnp.int32)
-    it = jnp.asarray(item_ids, jnp.int32)
+    uniq = np.unique(
+        np.asarray(user_ids, np.int64) * np.int64(n_items_pad)
+        + np.asarray(item_ids, np.int64)
+    )
+    u = jnp.asarray(uniq // n_items_pad, jnp.int32)
+    it = jnp.asarray(uniq % n_items_pad, jnp.int32)
     j, r = it // li, it % li
     b, w = r // lw, r % lw
     word_col = j * lw + w

@@ -26,8 +26,16 @@ stream, so both kernels run UNCHANGED per shard:
 
 X0[ct] is exactly the shard-local output of the sharded feat aggregation
 (parallel/steps.py edge partition uses the same row blocks), padded with
-zero rows from rows_per_shard up to the _ALIGN'd slab width — the padding
-columns of P are built as zeros, so they contribute nothing.
+zero rows from rows_per_shard up to the _ALIGN'd slab width. NOTE on the
+padding columns (ADVICE r4 #2): ``build_prop_cache_cols`` builds the window
+[t*rps, t*rps+width) of the GLOBAL P, so a shard's columns past rps are NOT
+zeros — they are the next shard's real P columns (only columns >= n
+propagate to zero). Correctness relies on the consumers zeroing the
+OPERAND instead: ``cached_prop`` pads X0 with zero rows over
+[rps, width), and the backward slices dx0[:rps] — so the overlap columns
+multiply zeros forward and are discarded backward. The parity test
+(tests/test_parallel.py sharded-pcache build oracle) pins both the overlap
+contents and the zero-padded-X0 contract.
 
 vs the recompute path (parallel/sharded.py): K edge-partitioned SpMMs with a
 d-wide all-gather per layer PLUS a full-table rep all-gather; the cached
@@ -69,8 +77,13 @@ def shard_slab_width(rows_per_shard: int) -> int:
 
 def sharded_pcache_bytes_per_chip(n_users: int, n_items: int,
                                   n_shards: int) -> int:
+    """Per-chip slab bytes, computed with the SAME rows_per_shard formula the
+    build actually receives (ShardedGraph.from_coo: ceil(n/(T*8))*8 — up to 7
+    rows larger than ceil(n/T)); using the smaller estimate could approve a
+    cache whose real slab is one _ALIGN column block (~n*8KB) larger than
+    budgeted when the two straddle an alignment boundary (ADVICE r4 #3)."""
     n = n_users + n_items
-    rps = _pad_to(n, n_shards) // n_shards
+    rps = _pad_to(n, n_shards * 8) // n_shards
     return n * shard_slab_width(rps) * 2
 
 

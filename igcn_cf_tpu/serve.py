@@ -43,6 +43,15 @@ def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# Model jit-cache entries that are pure functions of their ARGUMENTS (no
+# buffer values captured as trace constants) — the only ones safe to carry
+# across a same-shape rebuild (see Recommender.refresh). Keys from
+# models/base.py: rep_eval / fused_rec_pad / recommend_scan / dot_score.
+_ARG_PURE_JIT_KEYS = frozenset(
+    {"rep_eval", "fused_rec_pad", "recommend_scan", "dot_score"}
+)
+
+
 class Recommender:
     def __init__(self, model, params, buffers, *, exclude: str = "train"):
         """``exclude``: which known interactions never get re-recommended —
@@ -96,11 +105,18 @@ class Recommender:
             self.buffers = model.rebuild_for(new_dataset)
             if saved is not None:
                 # steady-state refresh (new interactions, same catalog
-                # shape): the jitted evaluators are pure functions of their
-                # ARGS, so the rebuilt buffers flow through them — restoring
-                # the cache avoids a multi-second re-jit round trip per
-                # refresh (tools/bench_serve.py)
-                model._jit_cache.update(saved)
+                # shape): restore ONLY the known ARG-PURE entries — jitted
+                # evaluators that take every buffer they read as an argument,
+                # so the rebuilt buffers flow through them. A blanket restore
+                # would resurrect closures that baked buffer VALUES in as
+                # trace constants (e.g. Popularity's recscan captures
+                # item_degree), exactly the staleness rebuild_for's cache
+                # clear exists to prevent (ADVICE r4 #4). This avoids the
+                # multi-second re-jit round trip per refresh for the serving
+                # hot path (tools/bench_serve.py).
+                model._jit_cache.update(
+                    {k: v for k, v in saved.items() if k in _ARG_PURE_JIT_KEYS}
+                )
         self._prepare()
         return time.time() - t0
 

@@ -195,7 +195,13 @@ class BasicTrainer:
             start_time = time.time()
             loss = self.train_one_epoch()
             train_time = time.time() - start_time
-            _, metrics = self.eval("train")
+            # The reference evaluates the train split every epoch
+            # (reference trainer.py:71) but only CONSUMES the result through
+            # its tensorboard writer (trainer.py:76-78) — the per-epoch print
+            # shows loss/time only. Gate the full-catalog eval on having a
+            # writer (matching parallel/trainer.py): headless runs skip a
+            # per-epoch eval whose result would be discarded.
+            metrics = self.eval("train")[1] if writer else None
             consumed = time.time() - start_time
             if verbose:
                 print(

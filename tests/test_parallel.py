@@ -253,6 +253,22 @@ def test_sharded_pcache_build_matches_oracle(mesh, tiny_ds):
     # padding columns (>= n globally, and per-shard beyond rps) are zero
     assert not full[:, n:].any()
 
+    # Per-shard OVERLAP region [rps, width): the build fills it with the
+    # NEXT shard's real P columns (global window [t*rps+rps, t*rps+width)),
+    # NOT zeros — consumers must zero-pad X0 over those rows instead
+    # (parallel/pcache.py module docstring, ADVICE r4 #2). Pin the contents
+    # so a future refactor that pads X0 differently fails here loudly.
+    oracle_pad = np.zeros((n_, n_shards * rps + width), np.float32)
+    oracle_pad[:, :n] = oracle
+    for t in range(n_shards):
+        slab = stacked[t].reshape(n_, width)
+        np.testing.assert_allclose(
+            slab[:, rps:],
+            oracle_pad[:, t * rps + rps : t * rps + width],
+            atol=8e-3,
+            err_msg=f"shard {t} overlap columns diverged from global P",
+        )
+
 
 def test_sharded_pcache_step_matches_recompute(mesh, tiny_ds):
     """The cached sharded engine (fused gather over local P slabs + psum)

@@ -159,3 +159,67 @@ def test_device_pack_matches_host_pack():
         np.zeros(0, np.int32), np.zeros(0, np.int32), 4, 256, li=128
     )
     assert not np.asarray(z).any()
+
+
+def test_device_pack_dedupes_duplicate_pairs():
+    """Callers feed concatenations that can repeat a (user, item) pair
+    (train[u]+val[u] unions, serve exclude='all'); the scatter-add packing
+    must dedupe or a duplicate's power of two carries into the adjacent bit
+    (ADVICE r4 #1). Duplicated input must pack identically to unique input."""
+    from igcn_cf_tpu.kernels.retrieval import pack_exclusion_words_device
+
+    n_users, n_items, nip, li = 8, 300, 384, 128
+    lists = [[5, 77, 129, 283], [0, 1, 2], [], [299]] + [[]] * 4
+    want = pack_exclusion_words(lists, n_users, n_items, nip, li=li)
+    rows, cols = [], []
+    for u, items in enumerate(lists):
+        for rep in (1, 2, 3):  # every pair 1-3 times
+            for it in items[: len(items) if rep == 1 else rep]:
+                rows.append(u)
+                cols.append(it)
+    got = np.asarray(
+        pack_exclusion_words_device(
+            np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+            n_users, nip, li=li,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_topk_adversarial_ties():
+    """Tie policy under massive duplication (kernels/retrieval.py docstring):
+    equal scores resolve lowest-item-id-first within rank K, across chunk
+    boundaries — exactly the stable flat argsort order. Two fields: a
+    constant (ALL items tied) and a bf16-quantized random field (many
+    cross-chunk tie groups, the common case with bf16 reps)."""
+    bu, li, k = 32, 128, 10
+    n_users, n_items, d = 40, 1000, 4
+    nup, nip = 64, 1024
+    rng = np.random.default_rng(17)
+
+    def run(it_row):
+        # rank-1 scores: every user sees the same row, so ties are global
+        ur = np.ones((nup, d), np.float32) / d
+        it = np.broadcast_to(it_row, (d, nip)).astype(np.float32).copy()
+        it[:, n_items:] = 0.0
+        excl = [[] for _ in range(nup)]
+        words = pack_exclusion_words(excl, nup, n_items, nip, li=li)
+        banned = np.zeros((1, nip), np.float32)
+        banned[0, n_items:] = NEG
+        got = np.asarray(
+            fused_topk_ids(
+                jnp.asarray(ur), jnp.asarray(it), jnp.asarray(words),
+                jnp.asarray(banned), k=k, interpret=True, bu=bu, li=li,
+            )
+        )[:n_users]
+        scores = (ur @ it).astype(np.float32)
+        scores[:, n_items:] = -np.inf
+        want = np.argsort(-scores, axis=1, kind="stable")[:n_users, :k]
+        np.testing.assert_array_equal(got, want)
+
+    # constant field: expected result is exactly ids 0..k-1 for every user
+    run(np.full((nip,), 0.5, np.float32))
+    # bf16-quantized uniform values: ~256 distinct values over 1000 items ->
+    # every tie group spans multiple 128-item chunks
+    vals = rng.uniform(0.1, 1.0, size=nip).astype(np.float32)
+    run(vals.astype(jnp.bfloat16).astype(np.float32))
