@@ -334,6 +334,382 @@ def _bwd_pallas(wp, ct, seed, p: float, masked: bool):
     )(seed.reshape(1), wp, ct.astype(jnp.bfloat16))
 
 
+# -- transposed-layout kernels (round 5): full-lane dots ----------------------
+#
+# The kernels above put the embedding dim d on the MXU's LANE (N) axis: at
+# d=64 half the 128-wide result lanes idle, and the round-4 profile pinned
+# the feat-aggregation step piece (4 such passes) at 52% of the train step
+# (PROFILE_STEP.json, VERDICT r4 next #2). The transposed formulation puts d
+# on the M (streaming) axis instead and contracts over the tile, so N is the
+# 512-row / 4096-column tile axis — full lanes at ANY d:
+#
+#   y1t (d, m) = (B∘mask1 @ X1)^T      per tile: x1t (d, TK) · big (TM, TK)^T
+#   y2t (d, K) = ((B∘mask2)^T @ X2)^T  per tile: x2t (d, TM) · big (TM, TK)
+#
+# where ``big`` is the tile's 32 bit-planes unpacked to a (TM, TK) bf16
+# matrix — plane b occupies the contiguous lane slice [b*128, (b+1)*128)
+# (the pack_bits layout), so the unpack is 32 shift/and/cast slices and the
+# dot is ONE flat big-K MXU op per tile (the round-4 flat-dot lesson,
+# kernels/pcache.py docstring). Both orientations stream the same packed
+# tiles; masks stay in the canonical (row, word) frame so forward and
+# backward drops are bit-identical.
+#
+# ``bbt_pair[_dropped]`` runs BOTH directions per call — exactly the shape of
+# INMO's feat aggregation (reference model.py:423-432: user rows aggregate
+# item templates AND item rows aggregate user templates each step) and of
+# one sym-norm propagation layer (reference model.py:96-106). Its VJP is the
+# same pair with the cotangents swapped across directions (and the masks
+# swapped with them), so one kernel pair serves fwd and bwd.
+
+
+def _unpack_tile(w: jnp.ndarray) -> jnp.ndarray:
+    """(TM, TKP) packed words -> (TM, TK) bf16 0/1 tile; plane b lands in
+    lanes [b*TKP, (b+1)*TKP) matching the pack_bits column layout. The cast
+    routes through int32 (Mosaic has no u32 -> bf16 cast)."""
+    return jnp.concatenate(
+        [
+            ((w >> np.uint32(b)) & np.uint32(1))
+            .astype(jnp.int32)
+            .astype(jnp.bfloat16)
+            for b in range(32)
+        ],
+        axis=1,
+    )
+
+
+def _make_t1_kernel(masked: bool, thr: int, flat: bool):
+    """y1t (d, m) += x1t-block · tile^T  (grid (i, j), accumulate over j)."""
+    import jax.experimental.pallas as pl
+
+    def kernel(seed_ref, w_ref, x1t_ref, out_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        w = w_ref[:]
+        if masked:
+            rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * TM
+            words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
+            w = w & _keepword(seed_ref[0], rows, words, thr)
+        if flat:
+            big = _unpack_tile(w)  # (TM, TK)
+            part = jax.lax.dot_general(
+                x1t_ref[:], big,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, TM)
+        else:
+            part = jnp.zeros_like(out_ref)
+            for b in range(32):
+                bits = (
+                    ((w >> np.uint32(b)) & np.uint32(1))
+                    .astype(jnp.int32)
+                    .astype(jnp.bfloat16)
+                )
+                part += jax.lax.dot_general(
+                    x1t_ref[:, pl.ds(b * TKP, TKP)], bits,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = part
+
+        @pl.when(j > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part
+
+    return kernel
+
+
+def _make_t2_kernel(masked: bool, thr: int, mode):
+    """y2t (d, K) += x2t-block · tile  (grid (j, i), accumulate over i).
+    mode: 'flat' = unpack the (TM, TK) tile then one K=TM dot; 'loopcat' =
+    32 per-plane dots concatenated (skips materializing the big tile);
+    'loop' = per-plane dots written to output slices."""
+    import jax.experimental.pallas as pl
+
+    flat = mode is True or mode == "flat"
+
+    def kernel(seed_ref, w_ref, x2t_ref, out_ref):
+        j, i = pl.program_id(0), pl.program_id(1)
+        w = w_ref[:]
+        if masked:
+            rows = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * TM
+            words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
+            w = w & _keepword(seed_ref[0], rows, words, thr)
+        x2 = x2t_ref[:]
+        if flat or mode == "loopcat":
+            if flat:
+                big = _unpack_tile(w)  # (TM, TK)
+                part = jnp.dot(x2, big, preferred_element_type=jnp.float32)
+            else:
+                part = jnp.concatenate(
+                    [
+                        jnp.dot(
+                            x2,
+                            ((w >> np.uint32(b)) & np.uint32(1))
+                            .astype(jnp.int32)
+                            .astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for b in range(32)
+                    ],
+                    axis=1,
+                )
+
+            @pl.when(i == 0)
+            def _():
+                out_ref[:] = part
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[:] = out_ref[:] + part
+        else:
+            for b in range(32):
+                bits = (
+                    ((w >> np.uint32(b)) & np.uint32(1))
+                    .astype(jnp.int32)
+                    .astype(jnp.bfloat16)
+                )
+                part = jnp.dot(x2, bits, preferred_element_type=jnp.float32)
+
+                @pl.when(i == 0)
+                def _():
+                    out_ref[:, pl.ds(b * TKP, TKP)] = part
+
+                @pl.when(i > 0)
+                def _():
+                    out_ref[:, pl.ds(b * TKP, TKP)] = (
+                        out_ref[:, pl.ds(b * TKP, TKP)] + part
+                    )
+
+    return kernel
+
+
+# Per-tile dot shape, set by the TPU microbench verdict
+# (tools/microbench_dual.py, KERNEL_FINDINGS.md): t1's 32 per-plane NT dots
+# (M=64, K=128, N=512) chain-accumulate in registers and beat the flat
+# big-K form (1.13 vs 1.39 ms); t2's best is per-plane dots CONCATENATED
+# into the accumulator (1.00 ms — skips materializing the unpacked tile;
+# flat 1.13, per-plane output-slice writes serialize at 3.5 ms).
+T1_FLAT = False
+T2_FLAT = "loopcat"  # 'flat' | 'loopcat' | False(loop)
+
+
+def _t1_pallas(wp, x1t, seed, p: float, masked: bool, interpret: bool = False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, kp = wp.shape
+    k = kp * 32
+    d = x1t.shape[0]
+    grid = (m // TM, kp // TKP)
+    return pl.pallas_call(
+        _make_t1_kernel(masked, _threshold_u8(p), T1_FLAT),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, TKP), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, TM), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, m), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * d,
+            bytes_accessed=m * kp * 4 + k * d * 2 + m * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seed.reshape(1), wp, x1t.astype(jnp.bfloat16))
+
+
+def _t2_pallas(wp, x2t, seed, p: float, masked: bool, interpret: bool = False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, kp = wp.shape
+    k = kp * 32
+    d = x2t.shape[0]
+    grid = (kp // TKP, m // TM)
+    return pl.pallas_call(
+        _make_t2_kernel(masked, _threshold_u8(p), T2_FLAT),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, TKP), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TM), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, TK), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * d,
+            bytes_accessed=m * kp * 4 + m * d * 2 + k * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seed.reshape(1), wp, x2t.astype(jnp.bfloat16))
+
+
+def _t_xla(wp, x1t, x2t, seed1, seed2, p: float, masked: bool):
+    """XLA fallback: identical unpacked matrix + identical keep decisions.
+    Inputs are ROUNDED to bf16 then dotted in f32 — bit-equal products to the
+    TPU kernels' bf16 x bf16 -> f32 MXU dots (0/1 entries and bf16 values are
+    exact in f32; accumulation is f32 in both), and the CPU executor lacks a
+    transposed bf16 DotThunk."""
+    b = _unpack_bits_jnp(wp).astype(jnp.float32)
+    m, k = b.shape
+    b1 = b2 = b
+    if masked:
+        b1 = jnp.where(keep_mask_dense(seed1, m, k, p), b, 0.0)
+        b2 = jnp.where(keep_mask_dense(seed2, m, k, p), b, 0.0)
+    x1f = x1t.astype(jnp.bfloat16).astype(jnp.float32)
+    x2f = x2t.astype(jnp.bfloat16).astype(jnp.float32)
+    y1t = jax.lax.dot_general(
+        x1f, b1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y2t = jnp.dot(x2f, b2, preferred_element_type=jnp.float32)
+    return y1t, y2t
+
+
+def _t_dispatch(wp, x1t, x2t, seed1, seed2, p, masked):
+    m, kp = wp.shape
+    if jax.default_backend() == "tpu" and m % TM == 0 and kp % TKP == 0:
+        y1t = _t1_pallas(wp, x1t, seed1, p, masked)
+        y2t = _t2_pallas(wp, x2t, seed2, p, masked)
+        return y1t, y2t
+    return _t_xla(wp, x1t, x2t, seed1, seed2, p, masked)
+
+
+def mask_words(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
+    """Packed words with the coordinate-hashed keep mask APPLIED:
+    ``wp & keepword(seed, row, word)`` over the full (m, kp) grid — the
+    identical keep decision the in-kernel masked paths make (same frame,
+    same ``_keepword``), materialized once. Rationale (round-5 microbench,
+    tools/microbench_dual.py): the 8-round keep-word hash costs ~2x the
+    unmasked dot pass itself, and a train step re-ran it in all four masked
+    passes (fwd x2, bwd x2). Building the masked operand once per direction
+    (~161 MB extra HBM at Gowalla scale, transient) lets every dot run as a
+    fast unmasked flat pass and halves the total hash work."""
+    m, kp = wp.shape
+    seed = _seed_from_key(key)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (m, kp), 0)
+    words = jax.lax.broadcasted_iota(jnp.uint32, (m, kp), 1)
+    return wp & _keepword(seed, rows, words, _threshold_u8(p))
+
+
+def _t1_unmasked(wp, x1t):
+    m, kp = wp.shape
+    if jax.default_backend() == "tpu" and m % TM == 0 and kp % TKP == 0:
+        return _t1_pallas(wp, x1t, jnp.uint32(0), 0.0, False)
+    b = _unpack_bits_jnp(wp).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x1t.astype(jnp.bfloat16).astype(jnp.float32), b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _t2_unmasked(wp, x2t):
+    m, kp = wp.shape
+    if jax.default_backend() == "tpu" and m % TM == 0 and kp % TKP == 0:
+        return _t2_pallas(wp, x2t, jnp.uint32(0), 0.0, False)
+    b = _unpack_bits_jnp(wp).astype(jnp.float32)
+    return jnp.dot(
+        x2t.astype(jnp.bfloat16).astype(jnp.float32), b,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.custom_vjp
+def bbt_pair_premasked(w1, w2, x1t, x2t):
+    """Transposed-layout pair over PRE-MASKED packed operands: y1t (d, m) =
+    (W1 @ x1t^T)^T, y2t (d, K) = (W2^T @ x2t^T)^T, where W1/W2 are
+    ``mask_words`` outputs (or any packed matrices). The backward swaps the
+    directions AND the operands with them — no hash anywhere in the four
+    dots. This is feat_aggregate's training path (kernels/dense_graph.py)."""
+    return _t1_unmasked(w1, x1t), _t2_unmasked(w2, x2t)
+
+
+def _bbtp_fwd(w1, w2, x1t, x2t):
+    return bbt_pair_premasked(w1, w2, x1t, x2t), (w1, w2)
+
+
+def _bbtp_bwd(res, cts):
+    w1, w2 = res
+    dy1t, dy2t = cts
+    # dx1t (d, K) = dy1t @ W1  (t2-orientation on W1);
+    # dx2t (d, m) = (W2 @ dy2t^T)^T  (t1-orientation on W2)
+    dx1t = _t2_unmasked(w1, dy1t)
+    dx2t = _t1_unmasked(w2, dy2t)
+    return (None, None, dx1t.astype(jnp.float32), dx2t.astype(jnp.float32))
+
+
+bbt_pair_premasked.defvjp(_bbtp_fwd, _bbtp_bwd)
+
+
+@jax.custom_vjp
+def bbt_pair(wp, x1t, x2t):
+    """Unmasked pair: y1t (d, m) = (B @ x1t^T)^T, y2t (d, K) = (B^T @ x2t^T)^T
+    — both directions of the bit-packed operator in transposed layout."""
+    return _t_dispatch(wp, x1t, x2t, jnp.uint32(0), jnp.uint32(0), 0.0, False)
+
+
+def _bbt_fwd(wp, x1t, x2t):
+    return bbt_pair(wp, x1t, x2t), (wp,)
+
+
+def _bbt_bwd(res, cts):
+    (wp,) = res
+    dy1t, dy2t = cts
+    # swap directions: dx2t (d, m) = (B @ dy2t^T)^T, dx1t (d, K) = dy1t @ B
+    dx2t, dx1t = _t_dispatch(
+        wp, dy2t, dy1t, jnp.uint32(0), jnp.uint32(0), 0.0, False
+    )
+    return (None, dx1t.astype(jnp.float32), dx2t.astype(jnp.float32))
+
+
+bbt_pair.defvjp(_bbt_fwd, _bbt_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bbt_pair_dropped(wp, x1t, x2t, key1, key2, p: float):
+    """Masked pair WITHOUT the 1/(1-p) rescale: direction 1 drops with
+    ``key1``, direction 2 with ``key2`` (independent edge sets, reference
+    model.py:435 — the feat matrix's user-side and item-side blocks each get
+    their own keeps). Coordinate-hashed masks: the backward regenerates
+    bit-identical drops from the same seeds."""
+    s1, s2 = _seed_from_key(key1), _seed_from_key(key2)
+    return _t_dispatch(wp, x1t, x2t, s1, s2, p, True)
+
+
+def _bbtd_fwd(wp, x1t, x2t, key1, key2, p):
+    s1, s2 = _seed_from_key(key1), _seed_from_key(key2)
+    out = _t_dispatch(wp, x1t, x2t, s1, s2, p, True)
+    return out, (wp, s1, s2)
+
+
+def _bbtd_bwd(p, res, cts):
+    wp, s1, s2 = res
+    dy1t, dy2t = cts
+    # swapped directions carry their ORIGINAL masks with them: direction-1's
+    # cotangent flows through mask1 (now applied on the dir-2 orientation)
+    dx2t, dx1t = _t_dispatch(wp, dy2t, dy1t, s2, s1, p, True)
+    return (None, dx1t.astype(jnp.float32), dx2t.astype(jnp.float32),
+            None, None)
+
+
+bbt_pair_dropped.defvjp(_bbtd_fwd, _bbtd_bwd)
+
+
 # -- XLA fallback -------------------------------------------------------------
 
 

@@ -42,6 +42,9 @@ from igcn_cf_tpu.kernels.bitpack import (
     TM,
     bb_matmul,
     bb_matmul_dropped,
+    bbt_pair,
+    bbt_pair_premasked,
+    mask_words,
     pack_interactions,
     pad_to,
 )
@@ -183,15 +186,44 @@ def sym_norm_propagate(g: BipartiteDense, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([yu, yi], axis=0)
 
 
+def _pad_cols(xt: jnp.ndarray, n: int) -> jnp.ndarray:
+    if xt.shape[1] == n:
+        return xt
+    return jnp.concatenate(
+        [xt, jnp.zeros(xt.shape[:1] + (n - xt.shape[1],), xt.dtype)], axis=1
+    )
+
+
+def _sym_norm_propagate_t(g: BipartiteDense, xt: jnp.ndarray) -> jnp.ndarray:
+    """One D^-1/2 A D^-1/2 step in TRANSPOSED (d, n) layout: both directions
+    ride one ``bbt_pair`` call whose dots fill all 128 MXU lanes at any d
+    (the d=64 train/eval path half-idled the lane axis — round-5 kernels,
+    kernels/bitpack.py)."""
+    su = jax.lax.rsqrt(jnp.maximum(g.deg_u, 1.0))[None, :]
+    si = jax.lax.rsqrt(jnp.maximum(g.deg_i, 1.0))[None, :]
+    xu_t, xi_t = xt[:, : g.n_users], xt[:, g.n_users :]
+    y1t, y2t = bbt_pair(
+        g.B,
+        _pad_cols(si * xi_t, g.cols_padded),
+        _pad_cols(su * xu_t, g.rows_padded),
+    )
+    return jnp.concatenate(
+        [su * y1t[:, : g.n_users], si * y2t[:, : g.n_items]], axis=1
+    )
+
+
 def sym_norm_propagate_mean(
     g: BipartiteDense, x0: jnp.ndarray, n_layers: int
 ) -> jnp.ndarray:
-    acc = x0
-    x = x0
+    """mean over layers 0..K of sym-norm propagation (reference
+    model.py:96-106). Runs internally in transposed (d, n) layout — one
+    transpose in, one out, full-lane dots in between."""
+    xt = x0.T
+    acc = xt
     for _ in range(n_layers):
-        x = sym_norm_propagate(g, x)
-        acc = acc + x
-    return acc / float(n_layers + 1)
+        xt = _sym_norm_propagate_t(g, xt)
+        acc = acc + xt
+    return (acc / float(n_layers + 1)).T
 
 
 def ngcf_propagate(
@@ -236,24 +268,45 @@ def feat_aggregate(
     model.py:423-432) — with optional edge dropout on both train edges and
     token edges (reference model.py:435 via 263-275). The user-side and
     item-side blocks of feat_mat are distinct edge sets, so their masks are
-    independent."""
+    independent (same keys/frames as the pre-round-5 per-direction kernels:
+    k_b drops the user-side block, k_bt the item-side — draws are
+    bit-identical to the old path).
+
+    Round 5: both directions run in the transposed layout whose per-tile
+    dots fill all 128 MXU lanes at d=64 (this step piece was 52% of the
+    round-4 train step, PROFILE_STEP.json; the old layout put d on the lane
+    axis and half-idled the MXU). Dropout pre-masks the packed operand ONCE
+    per direction (``mask_words``) so all four fwd/bwd dots run hash-free —
+    the in-kernel keep-word hash cost ~2x the dot itself and ran 4x per step
+    (kernels/bitpack.py round-5 notes, tools/microbench_dual.py)."""
+    x1t = _pad_rows(e_items_full, g.cols_padded).T
+    x2t = _pad_rows(e_users_full, g.rows_padded).T
     if dropout > 0.0 and key is not None:
         k_b, k_bt, k_tu, k_ti = jax.random.split(key, 4)
         scale = 1.0 / (1.0 - dropout)
         tok_keep_u = jax.random.bernoulli(k_tu, 1.0 - dropout, (g.n_users, 1))
         tok_keep_i = jax.random.bernoulli(k_ti, 1.0 - dropout, (g.n_items, 1))
-        xu = (
-            g.mm_ui_dropped(e_items_full, k_b, dropout)
-            + jnp.where(tok_keep_u, tok_u[None, :], 0.0)
+        y1t, y2t = bbt_pair_premasked(
+            mask_words(g.B, k_b, dropout),
+            mask_words(g.B, k_bt, dropout),
+            x1t, x2t,
+        )
+        xu_t = (
+            y1t[:, : g.n_users]
+            + jnp.where(tok_keep_u.T, tok_u[:, None], 0.0)
         ) * scale
-        xi = (
-            g.mm_iu_dropped(e_users_full, k_bt, dropout)
-            + jnp.where(tok_keep_i, tok_i[None, :], 0.0)
+        xi_t = (
+            y2t[:, : g.n_items]
+            + jnp.where(tok_keep_i.T, tok_i[:, None], 0.0)
         ) * scale
     else:
-        xu = g.mm_ui(e_items_full) + tok_u[None, :]
-        xi = g.mm_iu(e_users_full) + tok_i[None, :]
-    return jnp.concatenate([w_u[:, None] * xu, w_i[:, None] * xi], axis=0)
+        y1t, y2t = bbt_pair(g.B, x1t, x2t)
+        xu_t = y1t[:, : g.n_users] + tok_u[:, None]
+        xi_t = y2t[:, : g.n_items] + tok_i[:, None]
+    x0t = jnp.concatenate(
+        [w_u[None, :] * xu_t, w_i[None, :] * xi_t], axis=1
+    )
+    return x0t.T
 
 
 # Bit-packed B is rows_pad * cols_pad / 8 bytes and there is no transpose

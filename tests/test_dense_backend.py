@@ -151,6 +151,153 @@ def test_bb_matmul_dropped_fwd_bwd_consistent(rng):
     )
 
 
+def test_bbt_pair_matches_dense(rng):
+    """Transposed-layout pair (round 5): y1t = (B @ x1t^T)^T, y2t =
+    (B^T @ x2t^T)^T, plus the swapped-direction VJP."""
+    from igcn_cf_tpu.kernels.bitpack import bbt_pair
+
+    d = 8
+    b = (rng.random((TM, TK)) < 0.15).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    x1t = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+    x2t = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    y1t, y2t = bbt_pair(wp, x1t, x2t)
+    np.testing.assert_allclose(
+        np.asarray(y1t), np.asarray(x1t) @ b.T, rtol=2e-2, atol=0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y2t), np.asarray(x2t) @ b, rtol=2e-2, atol=0.5
+    )
+    c1 = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+
+    def loss(x1t, x2t):
+        a, bb = bbt_pair(wp, x1t, x2t)
+        return jnp.sum(c1 * a) + jnp.sum(c2 * bb)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x1t, x2t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(c1) @ b,
+                               rtol=2e-2, atol=0.5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(c2) @ b.T,
+                               rtol=2e-2, atol=0.5)
+
+
+def test_bbt_pair_dropped_masks_and_vjp(rng):
+    """Each direction drops with ITS key; the backward's swapped directions
+    carry their original masks (kernels/bitpack.py round-5 docstring)."""
+    from igcn_cf_tpu.kernels.bitpack import bbt_pair_dropped
+
+    d, p = 8, 0.3
+    b = (rng.random((TM, TK)) < 0.2).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(11)
+    m1 = np.asarray(keep_mask_dense(int(_seed_from_key(k1)), TM, TK, p))
+    m2 = np.asarray(keep_mask_dense(int(_seed_from_key(k2)), TM, TK, p))
+    b1, b2 = b * m1, b * m2
+    x1t = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+    x2t = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    y1t, y2t = bbt_pair_dropped(wp, x1t, x2t, k1, k2, p)
+    np.testing.assert_allclose(
+        np.asarray(y1t), np.asarray(x1t) @ b1.T, rtol=2e-2, atol=0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y2t), np.asarray(x2t) @ b2, rtol=2e-2, atol=0.5
+    )
+    c1 = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+
+    def loss(x1t, x2t):
+        a, bb = bbt_pair_dropped(wp, x1t, x2t, k1, k2, p)
+        return jnp.sum(c1 * a) + jnp.sum(c2 * bb)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x1t, x2t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(c1) @ b1,
+                               rtol=5e-2, atol=0.5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(c2) @ b2.T,
+                               rtol=5e-2, atol=0.5)
+
+
+def test_mask_words_matches_dense_mask(rng):
+    """mask_words applies the EXACT keep decision keep_mask_dense describes
+    (same _keepword frame): unpacked masked words == B * mask."""
+    from igcn_cf_tpu.kernels.bitpack import mask_words, _seed_from_key
+
+    p = 0.3
+    b = (rng.random((TM, TK)) < 0.2).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    key = jax.random.PRNGKey(21)
+    w1 = mask_words(wp, key, p)
+    mask = np.asarray(keep_mask_dense(int(_seed_from_key(key)), TM, TK, p))
+    np.testing.assert_array_equal(unpack_bits_np(np.asarray(w1)), b * mask)
+
+
+def test_bbt_pair_premasked_matches_dropped(rng):
+    """feat_aggregate's premasked training path == the in-kernel masked pair
+    (same masks, same dots), including the swapped-operand VJP."""
+    from igcn_cf_tpu.kernels.bitpack import (
+        bbt_pair_dropped,
+        bbt_pair_premasked,
+        mask_words,
+    )
+
+    d, p = 8, 0.3
+    b = (rng.random((TM, TK)) < 0.2).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(11)
+    x1t = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+    x2t = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    w1, w2 = mask_words(wp, k1, p), mask_words(wp, k2, p)
+
+    want = bbt_pair_dropped(wp, x1t, x2t, k1, k2, p)
+    got = bbt_pair_premasked(w1, w2, x1t, x2t)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-4)
+
+    c1 = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    c2 = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+
+    def loss_pre(x1t, x2t):
+        a, bb = bbt_pair_premasked(w1, w2, x1t, x2t)
+        return jnp.sum(c1 * a) + jnp.sum(c2 * bb)
+
+    def loss_drop(x1t, x2t):
+        a, bb = bbt_pair_dropped(wp, x1t, x2t, k1, k2, p)
+        return jnp.sum(c1 * a) + jnp.sum(c2 * bb)
+
+    gp = jax.grad(loss_pre, argnums=(0, 1))(x1t, x2t)
+    gd = jax.grad(loss_drop, argnums=(0, 1))(x1t, x2t)
+    for g, w in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("flat", [True, False, "loopcat"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_bbt_pallas_interpret_matches_fallback(rng, flat, masked,
+                                               monkeypatch):
+    """The Pallas t-kernels (interpret mode — kernel logic, not Mosaic) are
+    bit-comparable to the XLA fallback, in every per-tile dot variant."""
+    import igcn_cf_tpu.kernels.bitpack as bp
+    from igcn_cf_tpu.kernels.bitpack import _t1_pallas, _t2_pallas, _t_xla
+
+    monkeypatch.setattr(bp, "T1_FLAT", flat is True)
+    monkeypatch.setattr(bp, "T2_FLAT", flat)
+    d, p = 8, 0.25
+    b = (rng.random((TM, TK)) < 0.1).astype(np.float32)
+    wp = jnp.asarray(pack_bits(b))
+    x1t = jnp.asarray(rng.normal(size=(d, TK)).astype(np.float32))
+    x2t = jnp.asarray(rng.normal(size=(d, TM)).astype(np.float32))
+    s1, s2 = jnp.uint32(5), jnp.uint32(9)
+    want1, want2 = _t_xla(wp, x1t, x2t, s1, s2, p, masked)
+    got1 = _t1_pallas(wp, x1t, s1, p, masked, interpret=True)
+    got2 = _t2_pallas(wp, x2t, s2, p, masked, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_bipartite_dense_padding(tiny_ds):
     g = BipartiteDense.build(tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items)
     assert g.B.dtype == jnp.uint32
