@@ -273,6 +273,36 @@ def recommend(
     return np.asarray(rec_dev).astype(np.int64)
 
 
+def evaluate_fused(eval_fn, ds, split: str, topks: Sequence[int],
+                   banned_items: Optional[np.ndarray] = None):
+    """ONE-dispatch metric eval: ``eval_fn`` (from
+    ``model.make_fused_eval_fn``) runs rep -> fused retrieval -> device
+    metric reductions inside a single jitted call; this wrapper only
+    supplies the device-resident cached inputs (packed exclusion words,
+    banned/pad row, padded eval lists) and unflattens the 3*len(topks)
+    scalars that come back. Reference protocol: trainer.py:140-177."""
+    from igcn_cf_tpu.evaluation.metrics import (
+        padded_eval_dev,
+        unflatten_metrics,
+    )
+    from igcn_cf_tpu.kernels.retrieval import NEG
+
+    nup, nip = eval_fn.geometry
+    words_dev = _packed_exclusion_dev(ds, split, nup, nip)
+    banned_row = np.zeros((1, nip), np.float32)
+    if banned_items is not None:
+        banned_row[0, np.asarray(banned_items, dtype=np.int64)] = NEG
+    banned_row[0, ds.n_items:] = NEG
+    eval_data: List[List[int]] = getattr(ds, split)
+    padded, lens = padded_eval_dev(eval_data, cache_on=ds, cache_key=split)
+    flat = np.asarray(
+        eval_fn(words_dev, jnp.asarray(banned_row), padded, lens, topks,
+                max(topks))
+    )
+    metrics = unflatten_metrics(flat, topks)
+    return format_metrics(metrics, topks), metrics
+
+
 def evaluate(
     predict_fn,
     ds,

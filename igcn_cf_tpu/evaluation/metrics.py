@@ -125,38 +125,47 @@ def _pad_eval_device(eval_data: List[List[int]]):
     return out, lens
 
 
+def device_metrics_core(rec, padded, lens, topks):
+    """TRACED metric reductions (Precision/Recall/NDCG@k means) — pure
+    function of device arrays, composable inside a larger jit (the
+    one-dispatch eval chains rep -> retrieval -> this, evaluation/
+    evaluate.py). Returns a flat (3*len(topks),) f32 vector."""
+    import jax.numpy as jnp
+
+    # hit[u, j] = rec[u, j] in eval set u (sentinel -1 never matches)
+    hits = (
+        (rec[:, :, None] == padded[:, None, :]).any(-1).astype(jnp.float32)
+    )
+    out = []
+    for k in topks:
+        hk = hits[:, :k]
+        hit_num = hk.sum(1)
+        max_hit = jnp.minimum(lens, k).astype(jnp.float32)
+        mask = (max_hit > 0).astype(jnp.float32)
+        msum = jnp.maximum(mask.sum(), 1.0)
+        denom = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+        dcg = (hk * denom[None, :]).sum(1)
+        ones = (
+            jnp.arange(k, dtype=jnp.float32)[None, :] < max_hit[:, None]
+        ).astype(jnp.float32)
+        idcg = (ones * denom[None, :]).sum(1)
+        ndcg = dcg / jnp.maximum(idcg, 1e-9)
+        recall = hit_num / jnp.maximum(lens.astype(jnp.float32), 1.0)
+        out += [
+            (hit_num / k * mask).sum() / msum,
+            (recall * mask).sum() / msum,
+            (ndcg * mask).sum() / msum,
+        ]
+    return jnp.stack(out)
+
+
 def _device_metrics_jit_factory():
     import jax
-    import jax.numpy as jnp
     from functools import partial
 
     @partial(jax.jit, static_argnames=("topks",))
     def f(rec, padded, lens, *, topks):
-        # hit[u, j] = rec[u, j] in eval set u (sentinel -1 never matches)
-        hits = (
-            (rec[:, :, None] == padded[:, None, :]).any(-1).astype(jnp.float32)
-        )
-        out = []
-        for k in topks:
-            hk = hits[:, :k]
-            hit_num = hk.sum(1)
-            max_hit = jnp.minimum(lens, k).astype(jnp.float32)
-            mask = (max_hit > 0).astype(jnp.float32)
-            msum = jnp.maximum(mask.sum(), 1.0)
-            denom = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
-            dcg = (hk * denom[None, :]).sum(1)
-            ones = (
-                jnp.arange(k, dtype=jnp.float32)[None, :] < max_hit[:, None]
-            ).astype(jnp.float32)
-            idcg = (ones * denom[None, :]).sum(1)
-            ndcg = dcg / jnp.maximum(idcg, 1e-9)
-            recall = hit_num / jnp.maximum(lens.astype(jnp.float32), 1.0)
-            out += [
-                (hit_num / k * mask).sum() / msum,
-                (recall * mask).sum() / msum,
-                (ndcg * mask).sum() / msum,
-            ]
-        return jnp.stack(out)
+        return device_metrics_core(rec, padded, lens, topks)
 
     return f
 
@@ -164,19 +173,11 @@ def _device_metrics_jit_factory():
 _device_metrics_jit = None
 
 
-def calculate_metrics_device(
-    rec_dev, eval_data: List[List[int]], topks: Sequence[int], cache_on=None,
-    cache_key=None,
-) -> Dict[str, Dict[int, float]]:
-    """calculate_metrics with the hit matrix and reductions ON DEVICE —
-    ``rec_dev`` is a device array and only len(topks)*3 scalars travel D2H.
-    Same numerics as the numpy path (asserted in tests). The padded eval
-    matrix is cacheable via (cache_on, cache_key)."""
+def padded_eval_dev(eval_data: List[List[int]], cache_on=None, cache_key=None):
+    """Device-resident (padded, lens) eval arrays, memoized via
+    (cache_on, cache_key) — shared by the standalone device metrics and the
+    one-dispatch fused eval."""
     import jax.numpy as jnp
-
-    global _device_metrics_jit
-    if _device_metrics_jit is None:
-        _device_metrics_jit = _device_metrics_jit_factory()
 
     dev = None
     cache = None
@@ -195,16 +196,36 @@ def calculate_metrics_device(
         dev = (jnp.asarray(padded_np), jnp.asarray(lens_np))
         if cache is not None:
             cache[cache_key] = dev
-    padded, lens = dev
-    flat = np.asarray(
-        _device_metrics_jit(rec_dev, padded, lens, topks=tuple(topks))
-    )
+    return dev
+
+
+def unflatten_metrics(flat, topks: Sequence[int]) -> Dict[str, Dict[int, float]]:
+    """(3*len(topks),) vector (device_metrics_core order) -> metrics dict."""
     results: Dict[str, Dict[int, float]] = {"Precision": {}, "Recall": {}, "NDCG": {}}
     for i, k in enumerate(topks):
         results["Precision"][k] = float(flat[3 * i])
         results["Recall"][k] = float(flat[3 * i + 1])
         results["NDCG"][k] = float(flat[3 * i + 2])
     return results
+
+
+def calculate_metrics_device(
+    rec_dev, eval_data: List[List[int]], topks: Sequence[int], cache_on=None,
+    cache_key=None,
+) -> Dict[str, Dict[int, float]]:
+    """calculate_metrics with the hit matrix and reductions ON DEVICE —
+    ``rec_dev`` is a device array and only len(topks)*3 scalars travel D2H.
+    Same numerics as the numpy path (asserted in tests). The padded eval
+    matrix is cacheable via (cache_on, cache_key)."""
+    global _device_metrics_jit
+    if _device_metrics_jit is None:
+        _device_metrics_jit = _device_metrics_jit_factory()
+
+    padded, lens = padded_eval_dev(eval_data, cache_on, cache_key)
+    flat = np.asarray(
+        _device_metrics_jit(rec_dev, padded, lens, topks=tuple(topks))
+    )
+    return unflatten_metrics(flat, topks)
 
 
 def format_metrics(metrics: Dict[str, Dict[int, float]], topks: Sequence[int]) -> str:

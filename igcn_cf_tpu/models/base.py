@@ -196,6 +196,63 @@ class Model:
         ItemKNN)."""
         return None
 
+    # class attr: scoring is users_rep @ items_rep^T over self.rep — the
+    # models eligible for the fully-fused one-dispatch eval below
+    dot_scored: bool = False
+
+    def make_fused_eval_fn(self, params: Params, buffers: Buffers):
+        """ONE-dispatch metric eval, or None. When available, the trainer's
+        ``eval`` runs rep -> pad -> fused score/mask/top-k kernel -> device
+        metric reductions inside a SINGLE jitted call: one dispatch, one D2H
+        of 3*len(topks) scalars. Round 4 chained three separately-dispatched
+        jits (evaluation/evaluate.py:288-299), paying ~3 tunnel RTTs that
+        were about half the eval wall-clock (VERDICT r4 next #3)."""
+        from igcn_cf_tpu.kernels.retrieval import use_fused_retrieval
+
+        if not self.dot_scored or not use_fused_retrieval(self.n_items):
+            return None
+        return self._dot_fused_eval_fn(params, buffers)
+
+    def _dot_fused_eval_fn(self, params: Params, buffers: Buffers):
+        from igcn_cf_tpu.evaluation.metrics import device_metrics_core
+        from igcn_cf_tpu.kernels.retrieval import BU, LI, fused_topk_ids
+
+        nup = -(-self.n_users // BU) * BU
+        nip = -(-self.n_items // LI) * LI
+        n_users = self.n_users
+
+        def make():
+            def eval_all(params, buffers, excl_words, banned_row, padded,
+                         lens, *, topks, max_k):
+                rep = self.rep(params, buffers, train=False, key=None)
+                ur = rep[:n_users]
+                it = rep[n_users:].T
+                up = (
+                    jnp.zeros((nup, ur.shape[1]), ur.dtype)
+                    .at[:n_users]
+                    .set(ur)
+                )
+                itp = (
+                    jnp.zeros((it.shape[0], nip), it.dtype)
+                    .at[:, : it.shape[1]]
+                    .set(it)
+                )
+                rec = fused_topk_ids(up, itp, excl_words, banned_row, k=max_k)
+                return device_metrics_core(rec[:n_users], padded, lens, topks)
+
+            return eval_all
+
+        fn = self._get_jit(
+            "eval_fused", make, static_argnames=("topks", "max_k")
+        )
+
+        def call(excl_words, banned_row, padded, lens, topks, max_k):
+            return fn(params, buffers, excl_words, banned_row, padded, lens,
+                      topks=tuple(topks), max_k=max_k)
+
+        call.geometry = (nup, nip)
+        return call
+
     def _traced_scan_recommend_fn(self, params: Params, buffers: Buffers,
                                   predict_core, cache_key: str):
         """Generic single-dispatch recommender for any TRACEABLE scorer

@@ -38,6 +38,8 @@ from igcn_cf_tpu.models.base import Model, l2sq, linear_apply, linear_init
 
 @MODELS.register("IDCF_LGCN")
 class IDCF_LGCN(Model):
+    dot_scored = True  # users_rep @ items_rep^T: one-dispatch fused eval
+
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.embedding_size = config["embedding_size"]

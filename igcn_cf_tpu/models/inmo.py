@@ -57,6 +57,7 @@ from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 @MODELS.register("IGCN")
 class IGCN(Model):
     supports_pcache = True  # propagation operator fixed across training
+    dot_scored = True  # users_rep @ items_rep^T: one-dispatch fused eval
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)

@@ -15,6 +15,8 @@ from igcn_cf_tpu.models.base import Model, l2sq, normal_init
 
 @MODELS.register("MF")
 class MF(Model):
+    dot_scored = True  # users_rep @ items_rep^T: one-dispatch fused eval
+
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.embedding_size = config["embedding_size"]

@@ -117,7 +117,17 @@ class BasicTrainer:
     # -- evaluation ---------------------------------------------------------
 
     def eval(self, val_or_test: str, banned_items=None):
-        # prefer the single-dispatch scan recommender; models without one
+        # fastest first: the fully-fused one-dispatch eval (rep + fused
+        # retrieval kernel + device metrics in ONE jit; real-TPU dot models)
+        fused_eval = self.model.make_fused_eval_fn(self.params, self.buffers)
+        if fused_eval is not None:
+            from igcn_cf_tpu.evaluation.evaluate import evaluate_fused
+
+            return evaluate_fused(
+                fused_eval, self.dataset, val_or_test, self.topks,
+                banned_items=banned_items,
+            )
+        # then the single-dispatch scan recommender; models without one
         # fall back to the per-batch predict loop
         recommend_fn = self.model.make_recommend_fn(self.params, self.buffers)
         predict_fn = (

@@ -133,6 +133,41 @@ def test_packed_eval_path_matches_scan(tiny_ds, monkeypatch):
         assert got[name][10] == pytest.approx(want[name][10], rel=1e-5)
 
 
+def test_fused_one_dispatch_eval_matches_scan(tiny_ds, monkeypatch):
+    """The round-5 one-dispatch eval (rep + fused retrieval + device metrics
+    in ONE jit, models/base.py::make_fused_eval_fn) returns the same metrics
+    as the scan path, including with banned items (the inductive slices)."""
+    import igcn_cf_tpu.kernels.retrieval as retr
+    from igcn_cf_tpu.models.base import get_model
+    from igcn_cf_tpu.evaluation.evaluate import evaluate, evaluate_fused
+
+    model = get_model({"name": "MF", "embedding_size": 16}, tiny_ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    buffers = model.init_buffers()
+
+    scan_fn = model.make_recommend_fn(params, buffers)
+    assert model.make_fused_eval_fn(params, buffers) is None  # CPU: gated off
+
+    monkeypatch.setattr(retr, "use_fused_retrieval", lambda n: True)
+    monkeypatch.setattr(
+        retr, "fused_topk_ids", partial(retr.fused_topk_ids, interpret=True)
+    )
+    fused_eval = model.make_fused_eval_fn(params, buffers)
+    assert fused_eval is not None
+
+    banned = np.asarray([0, 3, tiny_ds.n_items - 1])
+    for split, b in (("val", None), ("test", None), ("test", banned)):
+        _, want = evaluate(None, tiny_ds, split, [5, 10], banned_items=b,
+                           recommend_fn=scan_fn)
+        _, got = evaluate_fused(fused_eval, tiny_ds, split, [5, 10],
+                                banned_items=b)
+        for name in ("Precision", "Recall", "NDCG"):
+            for k in (5, 10):
+                assert got[name][k] == pytest.approx(want[name][k], rel=1e-5), (
+                    split, name, k
+                )
+
+
 def test_device_pack_matches_host_pack():
     """pack_exclusion_words_device (scatter-add of distinct bit powers)
     reproduces the host bit-plane packing exactly."""
