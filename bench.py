@@ -164,6 +164,15 @@ def _run_igcn(ds, prop_cache):
 def main():
     import jax
 
+    from igcn_cf_tpu.core.compile_cache import enable_persistent_cache
+
+    # persistent compile cache: across bench re-runs the fused kernels and
+    # step scans load from disk instead of recompiling through the tunnel —
+    # compile_s below reports warm-cache numbers on a machine that has run
+    # the bench before (VERDICT r4 next #4)
+    cache_dir = enable_persistent_cache()
+    print(f"# persistent compile cache: {cache_dir}", file=sys.stderr)
+
     t0 = time.time()
     ds = _bench_dataset()
     print(

@@ -232,6 +232,12 @@ def build_parser():
 
 
 def main(argv=None):
+    # persistent XLA compilation cache: a re-run at an already-seen shape
+    # loads executables from disk instead of paying the multi-minute remote
+    # compile again (core/compile_cache.py; IGCN_COMPILE_CACHE=off disables)
+    from igcn_cf_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 
