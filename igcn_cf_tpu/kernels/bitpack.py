@@ -7,7 +7,7 @@ B is stored bit-packed: 32 entries per uint32 word — 8x less HBM than the
 round-1 int8 engine and 16x less than bf16. At Gowalla scale one orientation
 is 161 MB; Amazon-book is 621 MB. No transpose copy is stored at all: the
 transposed product runs as a dim0-contraction over the same packed tiles
-(measured within ~7% of the forward kernel, tools/microbench_bitpack2.py).
+(measured within ~7% of the forward kernel, KERNEL_FINDINGS.md).
 
 Packing layout (host, ``pack_bits``): columns are grouped in TK=4096-wide
 tiles; within a tile, bit b of word lane w holds column ``b*128 + w``:
@@ -19,7 +19,7 @@ so a (TM, 128)-lane uint32 tile carries a (TM, 4096) binary tile, unpacked
 in-kernel as 32 bit-plane shifts feeding 32 MXU dots — the unpack rides the
 VPU underneath the MXU time (measured: packed 1.94 ms vs int8 1.84 ms per
 Gowalla-scale pass, while the HBM stream drops 8x; the pass is MXU-bound at
-the d=64 lane ceiling, see tools/microbench_bitpack.py).
+the d=64 lane ceiling, see KERNEL_FINDINGS.md).
 
 Dropout masking (reference model.py:263-275 edge dropout; masking structural
 zeros is a no-op) is ONE bitwise AND on the packed words: a 32-bit keep-word
@@ -207,7 +207,7 @@ def _make_fwd_kernel(masked: bool, thr: int):
             words = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * TKP
             w = w & _keepword(seed_ref[0], rows, words, thr)
         # kept as the per-plane dot chain: a round-4 flat-dot variant
-        # (concat 32 planes -> one big-K dot, tools/microbench_bitpack3.py)
+        # (concat 32 planes -> one big-K dot, KERNEL_FINDINGS.md)
         # measured faster in isolation but NEUTRAL-to-worse in-situ
         # (feat_agg_fwd_bwd 7.54 -> 7.68 ms) — the masked path is bound by
         # the keep-word hash, not dot issue, so the concat only adds VPU work

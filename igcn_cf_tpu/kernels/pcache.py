@@ -56,9 +56,9 @@ the bwd loop with one 3-D ``dot_general`` (2.03 ms); round 4 found Mosaic
 compiles an in-kernel ``slab.reshape(TR, sub*128)`` essentially for free,
 unlocking a single 2-D dot with K=18432 for BOTH directions: fwd 3.2->1.28 ms,
 bwd 2.03->1.22 ms vs the 1.11 ms one-pass HBM roofline
-(tools/microbench_fwd3.py, tools/microbench_bwd3.py). Independent-accumulator
+(KERNEL_FINDINGS.md). Independent-accumulator
 splitting and batched dot_general forms were measured slower or failed to
-compile (tools/microbench_fwd2.py).
+compile (KERNEL_FINDINGS.md).
 
 Numerics: P is stored in bfloat16 (relative error <= 2^-9 per entry; the
 training matmuls already run their inputs in bfloat16). The backward uses the
@@ -286,7 +286,7 @@ def _fused_fwd(p4, rows, x0b, *, tr, interpret=False):
 
         # one flat big-K dot: the in-kernel reshape is near-free (Mosaic
         # relayout) and runs 2.5x faster than the per-column-tile loop
-        # (tools/microbench_fwd3.py: 1.28 vs 3.2 ms)
+        # (KERNEL_FINDINGS.md: 1.28 vs 3.2 ms)
         part = jnp.dot(
             slab[slot].reshape(tr, tkc),
             x0_ref[:],
@@ -343,7 +343,7 @@ def _fused_bwd(p4, rows, ctb, *, tr, interpret=False):
     output block for column slab j. The in-kernel reshape is near-free and
     beats both the round-2 per-column-tile loop (9.4 ms) and the round-3
     3-D ``dot_general`` with 4-D output (2.03 ms): 1.22 ms vs the 1.11 ms
-    one-pass HBM roofline (tools/microbench_bwd3.py). The caller transposes
+    one-pass HBM roofline (KERNEL_FINDINGS.md). The caller transposes
     (d, npad) -> (npad, d) once outside."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

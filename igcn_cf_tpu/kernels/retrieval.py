@@ -15,21 +15,25 @@ trainer.py:140-166 — score, mask train/val + banned, top-k):
       scores = U_i (B, d) @ I_j (d, L)                       [MXU]
       scores += banned_j (broadcast row: -BIG on banned/padding items)
       scores  = where(excl_bits_ij, -BIG, scores)            [packed u32]
-      acc     = top_k(acc ++ scores)  — K rounds of max/tie-min reductions
+      chunk   = top_k(scores)   — K rounds over the CHUNK only (phase A)
+      acc     = merge(acc, chunk) — K rounds over 256 lanes   (phase B)
 
     HBM traffic: items_rep read once per user block + the tiny exclusion
     words; scores live only in VMEM/vregs.
 
-Exact top-k without per-row gathers: each round takes
-  m   = max(cand_vals)                        (the next value)
-  sel = min(where(cand_vals == m, cand_idx))  (smallest GLOBAL item id
-                                               among ties — the id itself
-                                               is the reduction result, so
-                                               no gather is needed)
-then masks exactly that (value, id) element and appends (m, sel). Ties on
-equal scores therefore resolve lowest-item-id-first, matching lax.top_k;
-like the two-stage evaluator, an item tied beyond rank K inside one chunk
-can differ from the flat sort's arbitrary choice among equal values.
+Exact top-k without per-row gathers. Phase A round: the next value is
+``m = max(scores)`` and its position ``pos = min(where(scores == m,
+iota))`` — the winner is a single position, so eviction is one
+``iota == pos`` select; position order IS global-id order within a chunk,
+so ties resolve lowest-item-id-first. Phase B merges the accumulator with
+the chunk's sorted list by the same (max value, min global id) rounds at
+256-lane width. Equal to one K-round pass over the full concat (top-k of a
+union is within the union of top-k's, and both phases use the same tie
+rule), at ~2/3 the VPU cost — the rounds were the eval kernel's dominant
+term (KERNEL_FINDINGS.md). Ties on equal scores resolve
+lowest-item-id-first, matching lax.top_k; like the two-stage evaluator, an
+item tied beyond rank K inside one chunk can differ from the flat sort's
+arbitrary choice among equal values.
 
 Exclusion masks arrive as packed little-endian u32 words (item c -> word
 c//32 bit c%32, ``pack_exclusion_words``): 2 orders of magnitude smaller
@@ -160,6 +164,32 @@ def _merge_topk(acc_vals, acc_idx, scores, idx, k: int):
     return new_v, new_i
 
 
+def _chunk_topk(scores, j: int, k: int):
+    """Exact top-k of ONE chunk's scores by K rounds over the chunk only.
+    Tie rule: lowest position (= lowest global item id within the chunk)
+    first — a round's winner is a single POSITION, so the eviction is one
+    ``iota == pos`` select instead of the value+id masking dance. Returns
+    sorted-descending (B, KPAD) (value, global id) lists. Round-5 cost cut:
+    the previous kernel ran its k rounds over concat(acc, scores) — ~9
+    full-width ops on 4224 lanes per round; this runs ~6 ops on the 4096
+    chunk lanes, and the acc merge happens on two short sorted lists
+    (``_merge_topk`` at 256 lanes)."""
+    bsz, li = scores.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    out_v = jnp.full((bsz, KPAD), NEG, jnp.float32)
+    out_i = jnp.full((bsz, KPAD), BIGI, jnp.int32)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (bsz, KPAD), 1)
+    for t in range(k):
+        m = jnp.max(scores, axis=1, keepdims=True)
+        pos = jnp.min(
+            jnp.where(scores == m, iota, BIGI), axis=1, keepdims=True
+        )
+        scores = jnp.where(iota == pos, NEG, scores)
+        out_v = jnp.where(kiota == t, m, out_v)
+        out_i = jnp.where(kiota == t, pos + j * li, out_i)
+    return out_v, out_i
+
+
 def _fused_kernel(k: int):
     import jax.experimental.pallas as pl
 
@@ -178,11 +208,10 @@ def _fused_kernel(k: int):
         scores = scores + banned_ref[:]  # -BIG rows: banned + padding items
         mask = _unpack_mask(ex_ref[:], scores.shape[1])
         scores = jnp.where(mask, NEG, scores)
-        idx = (
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            + j * scores.shape[1]
-        )
-        nv, ni = _merge_topk(acc_v[:], acc_i[:], scores, idx, k)
+        # two-phase exact merge: chunk-local k rounds (cheap position-based
+        # eviction), then a 256-lane sorted-list merge with the accumulator
+        cv, ci = _chunk_topk(scores, j, k)
+        nv, ni = _merge_topk(acc_v[:], acc_i[:], cv, ci, k)
         acc_v[:] = nv
         acc_i[:] = ni
 

@@ -102,6 +102,75 @@ def sharded_pcache_fits(n_users: int, n_items: int, n_shards: int,
     ) <= budget
 
 
+def build_sharded_pcache_host(
+    train_array: np.ndarray,
+    n_users: int,
+    n_items: int,
+    mesh: Mesh,
+    n_layers: int,
+    rows_per_shard: int,
+    block: int = 2048,
+) -> jnp.ndarray:
+    """Host-side (scipy CSR) build of the SAME stacked sharded cache layout
+    as ``build_sharded_pcache`` — exact f32 column propagation, stored bf16.
+
+    Purpose: mid-scale demonstrations on the virtual CPU mesh (VERDICT r4
+    next #5). The device build routes every column block through the
+    bit-packed engine, whose CPU fallback materializes the dense unpacked
+    interaction matrix per matmul — fine on TPU, O(n^2 * npad) dense FLOPs
+    on a 2-core CPU host. The sparse host build is O(nnz * npad) and
+    bit-compatible modulo bf16 rounding (parity pinned in
+    tests/test_parallel.py)."""
+    import scipy.sparse as sp
+
+    n = n_users + n_items
+    n_shards = mesh.shape[TABLE_AXIS]
+    width = shard_slab_width(rows_per_shard)
+    sub = width // 128 // GATHER_NJ
+    arr = np.asarray(train_array)
+    rows = np.concatenate([arr[:, 0], n_users + arr[:, 1]])
+    cols = np.concatenate([n_users + arr[:, 1], arr[:, 0]])
+    a = sp.csr_matrix(
+        (np.ones(rows.shape[0], np.float32), (rows, cols)), shape=(n, n)
+    )
+    deg = np.maximum(np.asarray(a.sum(axis=1)).ravel(), 1.0)
+    s = (1.0 / np.sqrt(deg)).astype(np.float32)
+    a = sp.diags(s) @ a @ sp.diags(s)
+    a = a.tocsr().astype(np.float32)
+    inv = np.float32(1.0 / (n_layers + 1))
+
+    sh = NamedSharding(mesh, P(TABLE_AXIS, None, None, None, None))
+    shape = (n_shards, n, GATHER_NJ, sub, 128)
+    built: dict = {}
+
+    def _build_shard(t: int) -> np.ndarray:
+        col0 = t * rows_per_shard
+        slab = np.zeros((n, width), dtype=jnp.bfloat16.dtype)
+        for b0 in range(0, width, block):
+            w = min(block, width - b0)
+            g0 = col0 + b0
+            # one-hot columns; global ids >= n propagate to zero
+            live = max(0, min(w, n - g0))
+            if live == 0:
+                continue
+            x = np.zeros((n, w), np.float32)
+            x[np.arange(g0, g0 + live), np.arange(live)] = 1.0
+            acc = x * inv
+            for _ in range(n_layers):
+                x = a @ x
+                acc += x * inv
+            slab[:, b0 : b0 + w] = acc.astype(jnp.bfloat16.dtype)
+        return slab.reshape(n, GATHER_NJ, sub, 128)[None]
+
+    def cb(index):
+        t = index[0].start or 0
+        if t not in built:
+            built[t] = _build_shard(t)
+        return built[t]
+
+    return jax.make_array_from_callback(shape, sh, cb)
+
+
 def build_sharded_pcache(
     bip: BipartiteDense,
     mesh: Mesh,

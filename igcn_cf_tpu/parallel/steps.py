@@ -111,8 +111,10 @@ def build_inmo_sharded_train(
         sharded_pcache_fits,
     )
 
+    # prop_cache='host' = force the cache with the scipy host builder
+    # (exact; mid-scale CPU-mesh demonstrations, parallel/pcache.py)
     use_pcache = n_layers >= 1 and (
-        prop_cache is True
+        prop_cache in (True, "host")
         or (
             prop_cache == "auto"
             and jax.default_backend() == "tpu"
@@ -185,12 +187,20 @@ def build_inmo_sharded_train(
         "alpha": jax.device_put(jnp.float32(1.0), repl),
     }
     if use_pcache:
-        from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+        if prop_cache == "host":
+            from igcn_cf_tpu.parallel.pcache import build_sharded_pcache_host
 
-        bip = BipartiteDense.build(dataset.train_array, n_users, n_items)
-        buffers["pcache"] = build_sharded_pcache(
-            bip, mesh, n_layers, adj_sh.rows_per_shard
-        )
+            buffers["pcache"] = build_sharded_pcache_host(
+                dataset.train_array, n_users, n_items, mesh, n_layers,
+                adj_sh.rows_per_shard,
+            )
+        else:
+            from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+
+            bip = BipartiteDense.build(dataset.train_array, n_users, n_items)
+            buffers["pcache"] = build_sharded_pcache(
+                bip, mesh, n_layers, adj_sh.rows_per_shard
+            )
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)

@@ -315,3 +315,89 @@ def test_sharded_pcache_epoch_fn_runs(mesh, tiny_ds):
         jax.random.PRNGKey(0),
     )
     assert np.isfinite(float(loss))
+
+
+def test_sharded_pcache_host_build_matches_device(mesh, tiny_ds):
+    """The scipy host builder (mid-scale demos) produces the same stacked
+    sharded slab layout as the bit-packed device build, to bf16 tolerance."""
+    from igcn_cf_tpu.kernels.dense_graph import BipartiteDense
+    from igcn_cf_tpu.parallel.pcache import (
+        build_sharded_pcache,
+        build_sharded_pcache_host,
+    )
+    from igcn_cf_tpu.graph.build import sym_norm_adjacency
+
+    n_shards = mesh.shape[TABLE_AXIS]
+    adj = sym_norm_adjacency(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items
+    )
+    rps = ShardedGraph.from_coo(adj, n_shards).rows_per_shard
+    bip = BipartiteDense.build(
+        tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items
+    )
+    dev = np.asarray(
+        build_sharded_pcache(bip, mesh, 2, rps), dtype=np.float32
+    )
+    host = np.asarray(
+        build_sharded_pcache_host(
+            tiny_ds.train_array, tiny_ds.n_users, tiny_ds.n_items,
+            mesh, 2, rps, block=64,
+        ),
+        dtype=np.float32,
+    )
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=8e-3)
+
+
+@pytest.mark.slow
+def test_sharded_pcache_midscale_parity(mesh):
+    """VERDICT r4 next #5: the sharded cached engine END-TO-END at a
+    non-toy shape on the virtual mesh — per-shard slab columns span many
+    alignment blocks (width 4096 = 8 DMA-aligned blocks/shard vs the toy
+    tests' 1), and the cached trajectory must track recompute. The full
+    mid-scale artifact (n=64k nodes, 2.1 GB slabs) is
+    tools/sharded_midscale.py -> SHARDED_MIDSCALE.json; this test keeps a
+    smaller-but-structurally-real shape in CI."""
+    from igcn_cf_tpu.data.synthetic import synthetic_interactions
+    from igcn_cf_tpu.parallel.pcache import shard_slab_width
+
+    ds = synthetic_interactions(
+        n_users=6500, n_items=9500, avg_degree=10, seed=5
+    )
+    n_shards = mesh.shape[TABLE_AXIS]
+    n = ds.n_users + ds.n_items
+    rps = -(-n // (n_shards * 8)) * 8
+    assert shard_slab_width(rps) >= 4096  # real multi-block slabs
+
+    def build(prop_cache):
+        return build_inmo_sharded_train(
+            ds, mesh, embedding_size=16, n_layers=2, dropout=0.0,
+            lr=1e-2, l2_reg=0.0, aux_reg=0.01, batch_size=256, seed=11,
+            prop_cache=prop_cache,
+        )
+
+    t_cache = build("host")
+    t_rec = build(False)
+    assert "pcache" in t_cache.buffers
+    p4 = t_cache.buffers["pcache"]
+    assert p4.shape[0] == n_shards
+    assert p4.shape[2] * p4.shape[3] * p4.shape[4] == shard_slab_width(rps)
+
+    rng = np.random.default_rng(2)
+    pc, oc = t_cache.params, t_cache.opt_state
+    pr, orr = t_rec.params, t_rec.opt_state
+    losses = []
+    for i in range(3):
+        batch = make_batch(mesh, rng, ds, 256)
+        key = jax.random.PRNGKey(i)
+        pc, oc, loss_c = t_cache.step(pc, oc, t_cache.buffers, batch, key)
+        pr, orr, loss_r = t_rec.step(pr, orr, t_rec.buffers, batch, key)
+        losses.append((float(loss_c), float(loss_r)))
+        np.testing.assert_allclose(
+            float(loss_c), float(loss_r), rtol=2e-2, atol=2e-2
+        )
+    ec, er = np.asarray(pc["embedding"]), np.asarray(pr["embedding"])
+    scale = np.abs(er).max() + 1e-6
+    # bf16-stored P: longer row dots at 16k nodes round a few elements past
+    # the toy-shape 3e-2 band (worst seen 3.6e-2 over 3 Adam steps)
+    np.testing.assert_allclose(ec / scale, er / scale, atol=6e-2)

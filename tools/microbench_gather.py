@@ -6,7 +6,7 @@ per-row loop. This kernel does G dependent gathers of an (N, 128) f32 block
 with arbitrary sublane indices and reports ns and cycles/row.
 
 Timing uses the traced-count fori_loop + D2H readback protocol
-(tools/microbench_bitpack.py docstring: axon's block_until_ready lies).
+(KERNEL_FINDINGS.md docstring: axon's block_until_ready lies).
 """
 
 from __future__ import annotations
