@@ -119,8 +119,18 @@ def main():
         ),
     }
     print(json.dumps(result), flush=True)
+    # MERGE into SERVE.json: the grown-catalog probe (tools/
+    # bench_serve_grown.py) owns refresh_grown_* and must survive re-runs
+    merged = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    merged.update(result)
     with open(OUT, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {OUT}", flush=True)
 
 

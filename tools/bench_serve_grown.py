@@ -22,9 +22,10 @@ OUT = os.path.join(ROOT, "SERVE.json")
 
 
 def _run_phase(phase: str) -> dict:
+    backend = sys.argv[1] if len(sys.argv) > 1 else "sparse"
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "serve_grown_phase.py"),
-         phase],
+         phase, backend],
         capture_output=True, text=True, timeout=3600,
     )
     sys.stderr.write(p.stderr[-4000:])

@@ -36,6 +36,8 @@ CFG = {"name": "IGCN", "embedding_size": 64, "n_layers": 3,
 
 def main():
     phase = sys.argv[1]
+    if len(sys.argv) > 2:
+        CFG["graph_backend"] = sys.argv[2]
     from bench import _bench_dataset
     from igcn_cf_tpu.data.padded import bucket_size
     from igcn_cf_tpu.data.transforms import dropui
@@ -67,6 +69,7 @@ def main():
 
     print(json.dumps({
         "phase": phase,
+        "backend": CFG["graph_backend"],
         "prepare_s": round(prepare_s, 2),
         "refresh_grown_s": round(refresh_grown_s, 2),
         "reduced_bucket": [bucket_size(reduced.n_users),
