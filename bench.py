@@ -161,6 +161,66 @@ def _run_igcn(ds, prop_cache):
     return model, trainer, out
 
 
+
+def _eval_breakdown(model, trainer, ds, timed, probe):
+    """Attribution pieces for the eval wall (each timed as its own dispatch);
+    best-effort — the headline JSON must print even if attribution breaks."""
+    from igcn_cf_tpu.evaluation.evaluate import build_exclusion, recommend
+    from igcn_cf_tpu.evaluation.metrics import calculate_metrics
+
+    # make_recommend_fn computes the eval reps eagerly and (re)creates the
+    # "rep_eval" jit entry — the one-dispatch fused eval path doesn't
+    rec_fn = model.make_recommend_fn(trainer.params, trainer.buffers)
+    rep_fn = model._jit_cache["rep_eval"]
+    t_rep = timed(
+        lambda: float(probe(rep_fn(trainer.params, trainer.buffers)))
+    )
+    if getattr(rec_fn, "wants_packed", False):
+        # fused-kernel path (kernels/retrieval.py + device metrics)
+        from igcn_cf_tpu.evaluation.evaluate import _recommend_packed_dev
+        from igcn_cf_tpu.evaluation.metrics import calculate_metrics_device
+
+        t_retr = timed(
+            lambda: float(
+                probe(_recommend_packed_dev(rec_fn, ds, "val", None, 20))
+            )
+        )
+        rec_dev = _recommend_packed_dev(rec_fn, ds, "val", None, 20)
+        t_metrics = timed(
+            lambda: calculate_metrics_device(
+                rec_dev, ds.val, [20], cache_on=ds, cache_key="val"
+            )
+        )
+        return {
+            "path": "one_dispatch_fused",
+            "rep_ms": round(t_rep * 1e3, 1),
+            "fused_score_mask_topk_ms": round(t_retr * 1e3, 1),
+            "device_metrics_ms": round(t_metrics * 1e3, 1),
+            # ATTRIBUTION pieces, each wall-timed as its own dispatch (own
+            # tunnel RTT); the headline eval above runs all three inside
+            # ONE jit and pays one RTT, so it can beat the pieces' sum
+            "note": "pieces timed as separate dispatches (attribution only)",
+        }
+    t_rec_total = timed(
+        lambda: recommend(None, ds, "val", [20], test_batch_size=512,
+                          recommend_fn=rec_fn)
+    )  # rep dispatch + scan (score/mask/topk) + (n_users, k) D2H
+    rec = recommend(None, ds, "val", [20], test_batch_size=512,
+                    recommend_fn=rec_fn)
+    t_metrics = timed(lambda: calculate_metrics(ds.val, rec, [20]))
+    ds._exclusion_cache = None
+    t0 = time.time()
+    build_exclusion(ds, include_val=False)
+    t_excl = time.time() - t0
+    return {
+        "path": "scan",
+        "rep_ms": round(t_rep * 1e3, 1),
+        "scan_topk_d2h_ms": round(max(t_rec_total - t_rep, 0.0) * 1e3, 1),
+        "host_metrics_ms": round(t_metrics * 1e3, 1),
+        "exclusion_build_first_eval_ms": round(t_excl * 1e3, 1),
+    }
+
+
 def main():
     import jax
 
@@ -220,62 +280,17 @@ def main():
             f()
         return (time.time() - t0) / reps
 
-    rep_fn = model._jit_cache["rep_eval"]
-    t_rep = timed(
-        lambda: float(probe(rep_fn(trainer.params, trainer.buffers)))
-    )
-    rec_fn = model.make_recommend_fn(trainer.params, trainer.buffers)
-    if getattr(rec_fn, "wants_packed", False):
-        # fused-kernel path (kernels/retrieval.py + device metrics)
-        from igcn_cf_tpu.evaluation.evaluate import _recommend_packed_dev
-        from igcn_cf_tpu.evaluation.metrics import calculate_metrics_device
-
-        t_retr = timed(
-            lambda: float(
-                probe(_recommend_packed_dev(rec_fn, ds, "val", None, 20))
-            )
-        )
-        rec_dev = _recommend_packed_dev(rec_fn, ds, "val", None, 20)
-        t_metrics = timed(
-            lambda: calculate_metrics_device(
-                rec_dev, ds.val, [20], cache_on=ds, cache_key="val"
-            )
-        )
-        eval_breakdown = {
-            "path": "one_dispatch_fused",
-            "rep_ms": round(t_rep * 1e3, 1),
-            "fused_score_mask_topk_ms": round(t_retr * 1e3, 1),
-            "device_metrics_ms": round(t_metrics * 1e3, 1),
-            # ATTRIBUTION pieces, each wall-timed as its own dispatch (own
-            # tunnel RTT); the headline eval above runs all three inside
-            # ONE jit and pays one RTT, so it can beat the pieces' sum
-            "note": "pieces timed as separate dispatches (attribution only)",
-        }
-    else:
-        t_rec_total = timed(
-            lambda: recommend(None, ds, "val", [20], test_batch_size=512,
-                              recommend_fn=rec_fn)
-        )  # rep dispatch + scan (score/mask/topk) + (n_users, k) D2H
-        rec = recommend(None, ds, "val", [20], test_batch_size=512,
-                        recommend_fn=rec_fn)
-        t_metrics = timed(lambda: calculate_metrics(ds.val, rec, [20]))
-        ds._exclusion_cache = None
-        t0 = time.time()
-        build_exclusion(ds, include_val=False)
-        t_excl = time.time() - t0
-        eval_breakdown = {
-            "path": "scan",
-            "rep_ms": round(t_rep * 1e3, 1),
-            "scan_topk_d2h_ms": round(max(t_rec_total - t_rep, 0.0) * 1e3, 1),
-            "host_metrics_ms": round(t_metrics * 1e3, 1),
-            "exclusion_build_first_eval_ms": round(t_excl * 1e3, 1),
-        }
+    try:
+        eval_breakdown = _eval_breakdown(model, trainer, ds, timed, probe)
+    except Exception as e:  # attribution is best-effort; the headline
+        eval_breakdown = {"error": f"{type(e).__name__}: {e}"}  # JSON must print
     print(
         f"# eval {ds.n_users} users in {eval_dt:.2f}s ({eval_users_per_s:,.0f}"
         f" users/s; roofline floor ~{eval_floor_users_per_s:,.0f}; "
         f"breakdown {eval_breakdown})",
         file=sys.stderr,
     )
+
 
     # -- engine B (forced bit-packed recompute) ------------------------------
     del model, trainer
