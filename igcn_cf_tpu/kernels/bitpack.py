@@ -606,6 +606,58 @@ def mask_words(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
     return wp & _keepword(seed, rows, words, _threshold_u8(p))
 
 
+def mask_words_hw(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
+    """EXPERIMENTAL TPU-only variant of ``mask_words`` drawing the 8
+    bit-sliced comparator grids from the hardware PRNG
+    (``pltpu.prng_random_bits``) instead of the multiply-xorshift hash —
+    the hash's u32 multiplies are the mask build's VPU cost. Deterministic
+    per (key, tile) on a given TPU generation, but a DIFFERENT stream than
+    the hash (and than CPU): only use where the masked words are
+    materialized once and reused (the premasked path), never where fwd and
+    bwd must regenerate identical drops independently. Same keep
+    probability (1 - round(p*256)/256). Measured cost vs the hash build:
+    tools/microbench_dual.py / KERNEL_FINDINGS.md."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    thr = _threshold_u8(p)
+    m, kp = wp.shape
+    assert m % TM == 0 and kp % TKP == 0
+
+    def kernel(seed_ref, w_ref, out_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], i, j)
+        shape = w_ref.shape
+        ge = jnp.zeros(shape, jnp.uint32)
+        eq = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+        for b in range(7, -1, -1):
+            h = pltpu.prng_random_bits(shape)
+            if h.dtype != jnp.uint32:
+                h = jax.lax.bitcast_convert_type(h, jnp.uint32)
+            if (thr >> b) & 1:
+                eq = eq & h
+            else:
+                ge = ge | (eq & h)
+                eq = eq & (~h)
+        out_ref[:] = w_ref[:] & (ge | eq)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(m // TM, kp // TKP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, TKP), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TKP), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, kp), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(_seed_from_key(key).reshape(1), wp)
+
+
 def _t1_unmasked(wp, x1t):
     m, kp = wp.shape
     if jax.default_backend() == "tpu" and m % TM == 0 and kp % TKP == 0:

@@ -101,7 +101,24 @@ def main():
         w = bp.mask_words(wp, k, P_DROP)
         return w[0, 0].astype(jnp.float32) * 1e-20
 
-    t("mask_words (one seed)", mask_step, wp)
+    t("mask_words hash (one seed)", mask_step, wp)
+
+    def mask_hw_step(s, wp):
+        k = jax.random.fold_in(jax.random.PRNGKey(1), s.astype(jnp.int32))
+        w = bp.mask_words_hw(wp, k, P_DROP)
+        return w[0, 0].astype(jnp.float32) * 1e-20
+
+    t("mask_words hw-rng (one seed)", mask_hw_step, wp)
+
+    # drop-rate sanity of the hw path (not a timing)
+    try:
+        w = bp.mask_words_hw(wp, jax.random.PRNGKey(3), P_DROP)
+        kept = float(jnp.sum(jax.lax.population_count(w))) / float(
+            jnp.sum(jax.lax.population_count(wp))
+        )
+        print(f"hw-rng keep rate: {kept:.4f} (want ~{1-P_DROP:.4f})")
+    except Exception as e:
+        print(f"hw-rng keep rate check FAILED: {type(e).__name__}: {e}")
 
     # -- in-situ: feat_aggregate old path vs pair path ------------------------
     from igcn_cf_tpu.kernels.dense_graph import BipartiteDense, feat_aggregate
