@@ -607,16 +607,18 @@ def mask_words(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
 
 
 def mask_words_hw(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
-    """EXPERIMENTAL TPU-only variant of ``mask_words`` drawing the 8
-    bit-sliced comparator grids from the hardware PRNG
-    (``pltpu.prng_random_bits``) instead of the multiply-xorshift hash —
-    the hash's u32 multiplies are the mask build's VPU cost. Deterministic
-    per (key, tile) on a given TPU generation, but a DIFFERENT stream than
-    the hash (and than CPU): only use where the masked words are
-    materialized once and reused (the premasked path), never where fwd and
-    bwd must regenerate identical drops independently. Same keep
-    probability (1 - round(p*256)/256). Measured cost vs the hash build:
-    tools/microbench_dual.py / KERNEL_FINDINGS.md."""
+    """TPU variant of ``mask_words`` drawing the 8 bit-sliced comparator
+    grids from the hardware PRNG (``pltpu.prng_random_bits``) instead of
+    the multiply-xorshift hash: 0.56 vs 3.08 ms per STANDALONE
+    Gowalla-scale build (r5 probe). Kept as a documented NEGATIVE result
+    for the training path: wired into feat_aggregate it REGRESSED the step
+    (9.75 -> 10.18 ms; bench 208.3k -> 197.5k int/s) — the extra Pallas
+    launch boundaries cost more than the hash's XLA-fused build, so the
+    hash `mask_words` remains the shipped premask builder
+    (KERNEL_FINDINGS.md). Deterministic per (key, tile) on a given TPU
+    generation but a DIFFERENT stream than the hash/CPU; same keep
+    probability (1 - round(p*256)/256), pinned by the probe's population
+    count."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -626,7 +628,14 @@ def mask_words_hw(wp: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
 
     def kernel(seed_ref, w_ref, out_ref):
         i, j = pl.program_id(0), pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], i, j)
+        # single combined scalar: Mosaic rejects multi-operand prng_seed
+        # with program_id-derived operands ("UNKNOWN SSA VALUE")
+        tile_seed = (
+            seed_ref[0]
+            ^ (jnp.uint32(i) * _C1)
+            ^ (jnp.uint32(j) * _C2)
+        )
+        pltpu.prng_seed(tile_seed)
         shape = w_ref.shape
         ge = jnp.zeros(shape, jnp.uint32)
         eq = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
