@@ -334,7 +334,34 @@ class IGCN(Model):
 
     def refresh_buffers(self, buffers):
         """After load(), feat_mat/norm_adj must reflect the CURRENT dataset
-        with the loaded template maps and alpha (reference model.py:465-466)."""
+        with the loaded template maps and alpha (reference model.py:465-466).
+
+        The propagation cache is REUSED when the interaction graph is
+        unchanged: P depends only on train_array and K, and rebuilding it
+        would allocate a second multi-GB buffer next to the live one —
+        the end-of-training best-checkpoint reload OOMed exactly that way
+        at Gowalla scale (2 x 10.4 GiB > 16 GiB HBM, round-5 soak). The
+        guard compares the old bit matrix's logical shape and edge count
+        against the current dataset; any mismatch falls through to a full
+        rebuild."""
+        old_p4 = buffers.get("pcache") if isinstance(buffers, dict) else None
+        old_bip = buffers.get("bip") if isinstance(buffers, dict) else None
+        if (
+            old_p4 is not None
+            and self.pcache
+            and old_bip is not None
+            and old_bip.n_users == self.n_users
+            and old_bip.n_items == self.n_items
+            and int(jnp.sum(old_bip.deg_u)) == len(self.dataset.train_array)
+        ):
+            keep = self.pcache
+            self.pcache = False  # skip the build inside init_buffers
+            try:
+                new = self._init_buffers_dense()
+            finally:
+                self.pcache = keep
+            new["pcache"] = old_p4
+            return new
         return self.init_buffers()
 
 

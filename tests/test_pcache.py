@@ -343,3 +343,34 @@ def test_rows_padding(tiny_ds):
     )
     want = oracle[np.asarray(rows)] @ np.asarray(x0)
     np.testing.assert_allclose(np.asarray(out), want, atol=0.05, rtol=0.05)
+
+
+def test_refresh_buffers_reuses_pcache(tiny_ds):
+    """End-of-training reload must NOT rebuild P next to the live copy
+    (2x multi-GB OOMed at Gowalla scale): unchanged interaction graph ->
+    the cache array is reused; a changed dataset -> full rebuild."""
+    import jax
+
+    from igcn_cf_tpu.data.synthetic import synthetic_interactions
+    from igcn_cf_tpu.models.base import get_model
+
+    model = get_model(
+        {"name": "IGCN", "embedding_size": 8, "n_layers": 2, "dropout": 0.0,
+         "feature_ratio": 1.0, "graph_backend": "dense", "prop_cache": True},
+        tiny_ds,
+    )
+    buffers = model.init_buffers()
+    assert "pcache" in buffers
+    refreshed = model.refresh_buffers(buffers)
+    assert refreshed["pcache"] is buffers["pcache"]  # reused, not rebuilt
+    # the rest of the buffers are freshly derived
+    assert refreshed["bip"] is not buffers["bip"]
+
+    # changed interactions -> the guard must fall through to a rebuild
+    other = synthetic_interactions(
+        n_users=tiny_ds.n_users, n_items=tiny_ds.n_items, avg_degree=5,
+        seed=99,
+    )
+    model.dataset = other
+    refreshed2 = model.refresh_buffers(buffers)
+    assert refreshed2["pcache"] is not buffers["pcache"]
